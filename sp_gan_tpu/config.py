@@ -1,0 +1,138 @@
+"""Typed experiment configuration.
+
+Replaces the reference's import-time argparse namespace
+(`/root/reference/Generation/config.py:49-151`, ~90 flags, global `opts`) with
+an explicit dataclass. Field names follow the reference flags wherever the flag
+is on the live path so that command lines translate 1:1; dead PDGN/TreeGAN
+flags are dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass
+class Config:
+    # --- data (reference: Generation/config.py:52-55,74,90) ---
+    data_root: str = "data"            # directory holding {np}/{choice}.h5
+    choice: str = "Chair"              # shape class; multi-class groups resolved in data/h5.py
+    np: int = 2048                     # points per cloud (reference --np)
+    bs: int = 24                       # global batch size (reference --bs)
+    scale: float = 1.0                 # post-normalize scale (H5DataLoader.py:103)
+    augment: bool = False              # rotate+scale augmentation (H5DataLoader.py:115-117)
+    workers: int = 2                   # host prefetch threads (reference: DataLoader workers)
+    template: Optional[str] = None     # optional path to an .xyz sphere template;
+                                       # default: deterministic fibonacci sphere (data/sphere.py)
+
+    # --- model (reference: Generation/config.py:56,69,96-129) ---
+    nk: int = 20                       # kNN graph size; generator uses nk//2 (Generator.py:96)
+    nz: int = 128                      # latent dim
+    nv: float = 0.2                    # latent noise std (model.py:126-128)
+    off: bool = False                  # generate offsets added to sphere (Generator.py:196)
+    attn: bool = False                 # global self-attention on feat_cat (Generator.py:116-117)
+    use_head: bool = False             # pc_head lifting 3->128 before EdgeConv1 (Generator.py:138-144)
+    eql: bool = False                  # equalized-lr Conv/Linear in G head/global (Generator.py:103-104)
+    z_norm: bool = False               # normalize z to unit sphere (Generator.py:163-164)
+    small_d: bool = False              # halve D trunk width (Discriminator.py:74-75)
+    n_rand: bool = False               # per-point iid z instead of tiled global z (model.py:125-131)
+    n_mix: bool = False                # sphere-local z mixing augmentation (model.py:133-141)
+
+    # --- GAN objective (reference: Generation/config.py:72,110-112) ---
+    gan: str = "ls"                    # {ls, wgan, hinge, gan, real}
+    flip_d: bool = False               # label smoothing+flip for D (loss_utils.py:698-725)
+    flip_g: bool = False               # label flip for G
+    lambda_gp: float = 10.0            # gradient-penalty weight (used when gan='wgan')
+
+    # --- optimization (reference: config.py:57-60, model.py:94-110) ---
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    beta1: float = 0.5                 # Adam betas (model.py:94-95)
+    beta2: float = 0.99
+    lr_decay: bool = False
+    lr_decay_feq: int = 40             # StepLR step_size in epochs
+    lr_decay_rate: float = 0.7         # StepLR gamma
+    use_sgd: bool = False              # reference quirk: switches G scheduler to cosine
+    max_epoch: int = 6000
+    ema: bool = False                  # exponential moving average of G params
+    ema_rate: float = 0.999
+
+    # --- bookkeeping (reference: config.py:77-85) ---
+    log_dir: str = "log"
+    snapshot: int = 50                 # checkpoint every N epochs
+    restore: bool = False
+    pretrain_model_G: Optional[str] = None
+    pretrain_model_D: Optional[str] = None
+    save: bool = False                 # periodic sample dumps during training
+    seed: int = 123                    # reference seeds torch with 123 (model.py:38-41)
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    dtype: str = "float32"             # compute dtype for model math ("bfloat16" for perf)
+    mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
+    mesh_axes: Sequence[str] = ("data",)
+    use_pallas: bool = True            # fused Pallas kernels where available
+    donate_state: bool = True          # donate train-state buffers to the jitted step
+    log_every: int = 10                # steps between metric log lines
+    steps_per_epoch: Optional[int] = None  # override (for synthetic data / benchmarks)
+
+    @property
+    def n_points(self) -> int:
+        return self.np
+
+    @property
+    def k(self) -> int:
+        """Neighbors actually used by the generator (reference Generator.py:96)."""
+        return self.nk // 2
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mesh_shape"] = list(d["mesh_shape"])
+        d["mesh_axes"] = list(d["mesh_axes"])
+        return json.dumps(d, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        d["mesh_shape"] = tuple(d.get("mesh_shape", (1,)))
+        d["mesh_axes"] = tuple(d.get("mesh_axes", ("data",)))
+        return Config(**d)
+
+
+def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help_: str = "") -> None:
+    p.add_argument(f"--{name}", action=argparse.BooleanOptionalAction, default=default, help=help_)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference's live flags (same names, typed defaults)."""
+    c = Config()
+    p = argparse.ArgumentParser(description="sp_gan_tpu")
+    for f in dataclasses.fields(Config):
+        if f.name in ("mesh_shape", "mesh_axes"):
+            p.add_argument(f"--{f.name}", type=int if f.name == "mesh_shape" else str,
+                           nargs="+", default=list(getattr(c, f.name)))
+        elif f.type == "bool" or isinstance(getattr(c, f.name), bool):
+            _add_bool(p, f.name, getattr(c, f.name))
+        elif getattr(c, f.name) is None:
+            p.add_argument(f"--{f.name}", default=None)
+        else:
+            p.add_argument(f"--{f.name}", type=type(getattr(c, f.name)), default=getattr(c, f.name))
+    return p
+
+
+def parse_args(argv=None) -> Config:
+    ns = build_argparser().parse_args(argv)
+    d = vars(ns)
+    d["mesh_shape"] = tuple(d["mesh_shape"])
+    d["mesh_axes"] = tuple(d["mesh_axes"])
+    for key in ("np", "bs", "nk", "nz", "max_epoch", "snapshot", "lr_decay_feq", "workers"):
+        d[key] = int(d[key])
+    if d.get("steps_per_epoch") is not None:
+        d["steps_per_epoch"] = int(d["steps_per_epoch"])
+    return Config(**d)
