@@ -1,0 +1,6 @@
+"""GAN objectives and penalties (reference: `/root/reference/Common/loss_utils.py`)."""
+
+from sp_gan_tpu.losses.gan import gen_loss, dis_loss, mix_loss
+from sp_gan_tpu.losses.gp import r1_penalty, wgan_gp
+
+__all__ = ["gen_loss", "dis_loss", "mix_loss", "r1_penalty", "wgan_gp"]

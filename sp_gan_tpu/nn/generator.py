@@ -1,0 +1,123 @@
+"""Sphere-guided generator — rebuild of `/root/reference/Generation/Generator.py:91-198`.
+
+Per-point style from (sphere xyz ⊕ z) -> two attention-EdgeConv blocks with
+AdaIN modulation -> global max-pool branch -> MLP tail with tanh. Channel-last
+throughout; every pointwise conv is a Dense (batched MXU matmul over B*N rows).
+
+Layer-by-layer parity map (reference line refs):
+  head:        Conv(3+nz,128) lrelu(0.01) Conv(128,128) lrelu(0.01)  [:107-114]
+  pc_head:     (use_head) Conv(3,64) lrelu(0.01) Conv(64,128) lrelu  [:139-144]
+  EdgeConv1:   EdgeBlock(3 or 128 -> 64 or 128, k=nk//2)             [:145-153]
+  lrelu(0.2) + adain1(style)                                         [:174-176]
+  EdgeConv2:   EdgeBlock(64->128) — kNN in feature space             [:178-180]
+  lrelu(0.2) + adain2(style)
+  global:      max over N -> Linear(128,128) BN lrelu Linear(128,512)
+               BN lrelu -> tile over N                               [:119-126,183-187]
+  concat(global 512, x2 128) -> optional Attention(640)              [:189-192]
+  tail:        Conv(640,256) lrelu Conv(256,64) lrelu Conv(64,3) tanh [:129-136]
+               (always plain Conv1d in the reference, even with --eql)
+  off:         output += sphere points                               [:196]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.nn.layers import (
+    AdaptivePointNorm,
+    Attention,
+    EdgeBlock,
+    TorchDense,
+    make_dense,
+)
+
+NEG = 0.01     # reference `neg` (Generator.py:22)
+NEG2 = 0.2     # reference `neg_2` (Generator.py:23)
+
+
+class Generator(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, x, z, train: bool = True):
+        """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3]."""
+        cfg = self.cfg
+        B, N, _ = x.shape
+        Dense = make_dense(cfg.eql)
+        dim = 128
+        k = cfg.nk // 2
+
+        if cfg.z_norm:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+        # --- style head ---
+        style = jnp.concatenate([x, z], axis=-1)
+        style = nn.leaky_relu(Dense(dim, name="head1")(style), NEG)
+        style = nn.leaky_relu(Dense(dim, name="head2")(style), NEG)
+
+        # --- point trunk ---
+        pc = x
+        if cfg.use_head:
+            pc = nn.leaky_relu(Dense(dim // 2, name="pc_head1")(pc), NEG)
+            pc = nn.leaky_relu(Dense(dim, name="pc_head2")(pc), NEG)
+            c1_in, c1_out = dim, dim
+        else:
+            c1_in, c1_out = 3, 64
+
+        x1 = EdgeBlock(c1_in, c1_out, k, name="edge1")(pc, train=train)
+        x1 = nn.leaky_relu(x1, NEG2)
+        x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
+
+        x2 = EdgeBlock(c1_out, dim, k, name="edge2")(x1, train=train)
+        x2 = nn.leaky_relu(x2, NEG2)
+        x2 = AdaptivePointNorm(dim, name="adain2")(x2, style)
+
+        # --- global branch ---
+        feat_global = jnp.max(x2, axis=1)                       # [B, dim]
+        feat_global = Dense(dim, name="global1")(feat_global)
+        feat_global = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="global_bn1")(feat_global)
+        feat_global = nn.leaky_relu(feat_global, NEG)
+        feat_global = Dense(512, name="global2")(feat_global)
+        feat_global = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="global_bn2")(feat_global)
+        feat_global = nn.leaky_relu(feat_global, NEG)
+        feat_global = jnp.broadcast_to(feat_global[:, None, :], (B, N, 512))
+
+        feat_cat = jnp.concatenate([feat_global, x2], axis=-1)  # [B, N, 640]
+
+        if cfg.attn:
+            feat_cat = Attention(512 + dim, name="attn")(feat_cat)
+
+        # --- tail (always plain conv in the reference) ---
+        out = nn.leaky_relu(TorchDense(256, name="tail1")(feat_cat), NEG)
+        out = nn.leaky_relu(TorchDense(64, name="tail2")(out), NEG)
+        out = jnp.tanh(TorchDense(3, name="tail3")(out))
+
+        if cfg.off:
+            out = out + pc
+        return out
+
+    def interpolate(self, x, z1, z2, selection, alpha, use_latent: bool = False,
+                    train: bool = False):
+        """Part-interpolation forward (`Generator.py:200-261`): blend z (or
+        style) between two codes on a per-point `selection` mask, then run the
+        normal graph. selection: [N] {0,1}; alpha: scalar in [0,1]."""
+        sel = selection[None, :, None].astype(z1.dtype)
+        if not use_latent:
+            z = jnp.where(sel > 0, z1 * (1 - alpha) + z2 * alpha, z1)
+            return self(x, z, train=train)
+        # latent (style-space) blending requires running the head on both
+        # codes; reuse __call__ by linearity of the mask on z is NOT valid
+        # here, so we inline the blended-style forward below via a dedicated
+        # method on the module instance.
+        raise NotImplementedError(
+            "style-space interpolation is provided by "
+            "sp_gan_tpu.manipulate.style_interpolate")

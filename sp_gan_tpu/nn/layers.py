@@ -1,0 +1,193 @@
+"""Layer library — the live subset of `/root/reference/Generation/modules.py`
+rebuilt channel-last for TPU.
+
+Initialization parity notes (these shape GAN training dynamics, SURVEY.md §7
+"hard parts" #4):
+  * `TorchDense` replicates torch's Conv1d/Linear default init:
+    kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+    weight and bias.
+  * `EqualDense` replicates the reference's equalized-LR wrapper
+    (`modules.py:259-288`): stored weight ~ N(0,1), bias 0, effective weight
+    scaled by sqrt(2/fan_in) at every forward.
+  * `AdaptivePointNorm.style` starts as identity: weight ~ N(0,1) but bias
+    [gamma=1, beta=0] (`Generator.py:32-36`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sp_gan_tpu.ops import edge_features
+
+
+def torch_uniform_init(scale_from_fan_in: bool = True):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Conv/Linear default."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.array(shape[:-1])))
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch default init (== 1x1 Conv1d on [B, N, C])."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (fan_in, self.features),
+        )
+        y = jnp.matmul(x.astype(self.dtype or x.dtype), kernel.astype(x.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class EqualDense(nn.Module):
+    """Equalized-learning-rate dense (reference `EqualConv1d`/`EqualLinear` +
+    `EqualLR`, `modules.py:202-288`): weight stored ~N(0,1), rescaled by
+    sqrt(2/fan_in) in the forward pass so the effective LR is uniform."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.normal(1.0), (fan_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = math.sqrt(2.0 / fan_in)
+        return jnp.matmul(x, (kernel * scale).astype(x.dtype)) + bias.astype(x.dtype)
+
+
+def make_dense(eql: bool) -> Callable[..., nn.Module]:
+    return EqualDense if eql else TorchDense
+
+
+def instance_norm_points(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm1d (no affine) on [B, N, C]: normalize each channel over
+    the point axis per sample — matches torch `nn.InstanceNorm1d` on [B, C, N]
+    (biased variance, eps inside the sqrt)."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class AdaptivePointNorm(nn.Module):
+    """Per-point AdaIN (`Generator.py:24-45`): instance-norm the features,
+    then scale/shift with (gamma, beta) predicted per point from the style."""
+
+    channels: int
+    use_eql: bool = False
+
+    @nn.compact
+    def __call__(self, x, style):
+        C = self.channels
+        fan_in = style.shape[-1]
+
+        def bias_init(key, shape):
+            # identity at init: gamma=1, beta=0 (Generator.py:35-36)
+            return jnp.concatenate([jnp.ones((C,)), jnp.zeros((C,))])
+
+        kernel = self.param("style_kernel", nn.initializers.normal(1.0), (fan_in, 2 * C))
+        bias = self.param("style_bias", bias_init, (2 * C,))
+        k = kernel * math.sqrt(2.0 / fan_in) if self.use_eql else kernel
+        gb = jnp.matmul(style, k.astype(style.dtype)) + bias.astype(style.dtype)
+        gamma, beta = gb[..., :C], gb[..., C:]
+        return gamma * instance_norm_points(x) + beta
+
+
+class EdgeBlock(nn.Module):
+    """Attention-weighted EdgeConv (`Generator.py:47-88`), [B,N,Fin] -> [B,N,Fout].
+
+    Edge features [B,N,k,2Fin] -> two branches:
+      conv_w on the (nbr-central) half -> per-neighbor softmax weights,
+      conv_x on the full edge feature -> values,
+    elementwise product, then a (k*Fout -> Fout) contraction collapsing the
+    neighbor axis (the reference's Conv2d with [1, k] kernel).
+    """
+
+    fin: int
+    fout: int
+    k: int
+    norm_momentum: float = 0.9
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        B, N, C = x.shape
+        assert C == self.fin
+        ee = edge_features(x, self.k)                        # [B, N, k, 2C]
+        diff = ee[..., C:]
+
+        lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=self.norm_momentum,
+            epsilon=1e-5, name=name)
+
+        # attention branch (conv_w)
+        w = TorchDense(self.fout // 2, name="conv_w1")(diff)
+        w = lrelu(bn("bn_w1")(w))
+        w = TorchDense(self.fout, name="conv_w2")(w)
+        w = lrelu(bn("bn_w2")(w))
+        w = jax.nn.softmax(w, axis=2)                        # softmax over k
+
+        # value branch (conv_x)
+        v = TorchDense(self.fout, name="conv_x")(ee)
+        v = lrelu(bn("bn_x")(v))
+        v = v * w
+
+        # conv_out: Conv2d [1,k] kernel == contraction over (k, Fout)
+        fan_in = self.k * self.fout
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param(
+            "out_kernel",
+            lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
+            (self.k, self.fout, self.fout),
+        )
+        out_bias = self.param(
+            "out_bias",
+            lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
+            (self.fout,),
+        )
+        out = jnp.einsum("bnkc,kco->bno", v, kernel.astype(v.dtype))
+        return out + out_bias.astype(out.dtype)
+
+
+class Attention(nn.Module):
+    """Global self-attention (`modules.py:534-558`, BigGAN-style): 1/8-dim
+    query/key, 1/2-dim value, zero-init learnable gain, residual."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.channels
+        theta = TorchDense(ch // 8, use_bias=False, name="theta")(x)   # [B,N,c8]
+        phi = TorchDense(ch // 8, use_bias=False, name="phi")(x)
+        g = TorchDense(ch // 2, use_bias=False, name="g")(x)           # [B,N,c2]
+        energy = jnp.einsum("bnc,bmc->bnm", theta, phi)
+        beta = jax.nn.softmax(energy, axis=-1)
+        o = jnp.einsum("bnm,bmc->bnc", beta, g)
+        o = TorchDense(ch, use_bias=False, name="o")(o)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma * o + x

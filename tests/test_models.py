@@ -1,0 +1,144 @@
+"""Model-layer tests: shapes, parameter-count parity with the reference
+architecture (counted analytically from Generator.py/Discriminator.py), norm
+semantics vs torch oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.nn import Generator, Discriminator
+from sp_gan_tpu.nn.layers import instance_norm_points, EqualDense, AdaptivePointNorm
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(np=64, bs=2, nk=20, nz=128)
+
+
+@pytest.fixture(scope="module")
+def models(cfg):
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, cfg.np, 3))
+    z = jnp.zeros((2, cfg.np, cfg.nz))
+    G = Generator(cfg)
+    gv = G.init(key, x, z, train=True)
+    D = Discriminator(cfg)
+    dv = D.init(key, x, train=True)
+    return G, gv, D, dv
+
+
+class TestShapes:
+    def test_generator_output(self, cfg, models):
+        G, gv, _, _ = models
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.np, 3))
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.np, cfg.nz)) * 0.2
+        out, _ = G.apply(gv, x, z, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, cfg.np, 3)
+        assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh range
+
+    def test_discriminator_output(self, cfg, models):
+        _, _, D, dv = models
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.np, 3))
+        logits, _ = D.apply(dv, x, train=True, mutable=["batch_stats"])
+        assert logits.shape == (2, 1)
+
+
+class TestParamParity:
+    """Parameter counts derived from the reference architecture definitions
+    (Generator.py:91-156, Discriminator.py:48-95), defaults: nz=128, k=10,
+    eql/attn/use_head/small_d off."""
+
+    def test_generator_param_count(self, models):
+        _, gv, _, _ = models
+        # head 33408 + EdgeConv1 44032 + adain1 16512 + EdgeConv2 193600
+        # + adain2 33024 + global 83840 + tail 180739
+        assert n_params(gv["params"]) == 585_155
+
+    def test_discriminator_param_count(self, models):
+        _, _, _, dv = models
+        # mlps 42496 + fc2 265216 + head 672641
+        assert n_params(dv["params"]) == 980_353
+
+    def test_attn_param_count(self, cfg):
+        """Attention(640): theta/phi 640*80, g 640*320, o 320*640, gamma 1."""
+        c = cfg.replace(attn=True)
+        G = Generator(c)
+        gv = G.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 3)),
+                    jnp.zeros((1, 32, 128)), train=True)
+        extra = 640 * 80 * 2 + 640 * 320 + 320 * 640 + 1
+        assert n_params(gv["params"]) == 585_155 + extra
+
+
+class TestNormSemantics:
+    def test_instance_norm_matches_torch(self, rng):
+        import torch
+        x = rng.standard_normal((3, 32, 8)).astype(np.float32)  # [B,N,C]
+        ours = np.asarray(instance_norm_points(jnp.array(x)))
+        ref = torch.nn.InstanceNorm1d(8)(torch.tensor(x.transpose(0, 2, 1)))
+        np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 1), atol=1e-5)
+
+    def test_adain_identity_at_init(self, rng):
+        """gamma=1, beta=0 at init -> AdaIN reduces to instance norm."""
+        x = jnp.array(rng.standard_normal((2, 16, 8)).astype(np.float32))
+        style = jnp.zeros((2, 16, 12))
+        m = AdaptivePointNorm(8)
+        v = m.init(jax.random.PRNGKey(0), x, style)
+        out = m.apply(v, x, style)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(instance_norm_points(x)), atol=1e-5
+        )
+
+    def test_equal_dense_scaling(self, rng):
+        """Effective weight = stored * sqrt(2/fan_in) (modules.py:262-267)."""
+        x = jnp.array(rng.standard_normal((4, 16)).astype(np.float32))
+        m = EqualDense(8)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        w = v["params"]["kernel"]
+        expect = x @ (w * np.sqrt(2.0 / 16)) + v["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+class TestDeterminism:
+    def test_same_seed_same_output(self, cfg, models):
+        G, gv, _, _ = models
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.np, 3))
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.np, cfg.nz))
+        a, _ = G.apply(gv, x, z, train=True, mutable=["batch_stats"])
+        b, _ = G.apply(gv, x, z, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_off_flag_adds_sphere(self, cfg):
+        c = cfg.replace(off=True)
+        G = Generator(c)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, c.np, 3))
+        z = jnp.zeros((1, c.np, c.nz))
+        gv = G.init(key, x, z, train=True)
+        out_off, _ = G.apply(gv, x, z, train=True, mutable=["batch_stats"])
+        # tanh output is in [-1,1]; with off, output = tanh(...) + pc
+        assert np.abs(np.asarray(out_off)).max() <= np.abs(np.asarray(x)).max() + 1.0
+
+
+class TestGradients:
+    def test_generator_grads_flow(self, cfg, models):
+        G, gv, D, dv = models
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.np, 3))
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.np, cfg.nz))
+
+        def loss(params):
+            out, _ = G.apply({"params": params, "batch_stats": gv["batch_stats"]},
+                             x, z, train=True, mutable=["batch_stats"])
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss)(gv["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        nonzero = sum(int(np.any(np.asarray(l) != 0)) for l in leaves)
+        assert nonzero > len(leaves) * 0.9
