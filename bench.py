@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: fused G+D training steps/sec at the reference's default config
+(N=2048 points, bs=24 — `/root/reference/Generation/config.py:52-55`), run on
+whatever accelerator jax exposes (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline is
+computed against the first value this repo ever recorded on TPU
+(bench_baseline.json, committed after the first TPU run) — i.e. our own r1
+number is the running baseline.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    from sp_gan_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sp_gan_tpu.config import Config
+    from sp_gan_tpu.data import SyntheticDataset, sphere_template
+    from sp_gan_tpu.train import create_train_state, make_train_step
+
+    BS, N = 24, 2048
+    cfg = Config(np=N, bs=BS, nk=20, nz=128, donate_state=True)
+    state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(0))
+    sphere = jnp.asarray(sphere_template(N))
+    step = make_train_step(cfg, G, D, g_tx, d_tx, sphere)
+
+    data = SyntheticDataset(n_items=BS, n_points=N).data
+    batch = jnp.asarray(data)
+
+    # compile + warmup
+    state, m = step(state, batch)
+    jax.block_until_ready(m)
+    for _ in range(3):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    points_per_sec = steps_per_sec * BS * N
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f).get("steps_per_sec", steps_per_sec)
+        vs = steps_per_sec / base
+
+    print(json.dumps({
+        "metric": "G+D train steps/sec (bs=24, 2048 pts)",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 3),
+        "points_per_sec": round(points_per_sec),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""DGCNN classification feature extractor for FPD.
+
+The reference's FPD pipeline (`/root/reference/Common/GAN_metrics.py:125-188`)
+loads an external, non-vendored DGCNN classifier (`evaluation/AutoEncoder.py`,
+weights `Classify_dgcnn_cls_k40_1024_b32.pkl`) and takes its penultimate
+global feature as the FID-style activation. This is the standard DGCNN-cls
+encoder (Wang et al. 2019): 4 EdgeConv stages (64, 64, 128, 256) on kNN graph
+features, concat, 1x1 conv to `feat_dims`, global max(+avg) pooling.
+
+We implement that encoder in JAX so FPD runs on TPU; pretrained torch weights
+can be injected through `sp_gan_tpu.compat.torch_import.convert_dgcnn` when
+the user has the external file (it is not redistributable with the reference
+either — its README points at an external download).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sp_gan_tpu.ops import edge_features
+
+
+class DGCNNFeat(nn.Module):
+    """[B, N, 3] -> [B, feat_dims] global feature (max-pooled; `max_avg`
+    doubles the width like the reference's `multi` option)."""
+
+    k: int = 40
+    feat_dims: int = 1024
+    multi: Optional[str] = None   # None | "max" | "max_avg"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = (64, 64, 128, 256)
+        feats = []
+        h = x
+        for i, w in enumerate(widths):
+            ee = edge_features(h, self.k)                  # [B,N,k,2C]
+            v = nn.Dense(w, name=f"conv{i + 1}")(ee)
+            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i + 1}")(v)
+            v = nn.leaky_relu(v, 0.2)
+            h = jnp.max(v, axis=2)                         # max over neighbors
+            feats.append(h)
+        cat = jnp.concatenate(feats, axis=-1)              # [B,N,512]
+        g = nn.Dense(self.feat_dims, name="conv5")(cat)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn5")(g)
+        g = nn.leaky_relu(g, 0.2)
+        gmax = jnp.max(g, axis=1)
+        if self.multi == "max_avg":
+            return jnp.concatenate([gmax, jnp.mean(g, axis=1)], axis=-1)
+        return gmax

@@ -1,0 +1,148 @@
+"""Generative point-cloud metrics, computed on-device.
+
+Rebuild of `compute_all_metrics2` and friends
+(`/root/reference/Common/loss_utils.py:430-572`): the reference loops over
+samples on the host, launching one CUDA Chamfer per (gen, ref) row. Here the
+pairwise Chamfer matrix is a `lax.map` over rows with the column dimension
+batched into one [S2, N, N] distance computation — S2 clouds per row in a
+single MXU matmul — and the summary statistics (COV/MMD/1-NN/JSD) are tiny
+host-side reductions on the resulting [S1, S2] matrices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sp_gan_tpu.ops.emd import emd_auction
+from sp_gan_tpu.ops.pairwise import pairwise_sqdist
+from sp_gan_tpu.ops.voxel import voxel_occupancy
+
+
+@partial(jax.jit, static_argnames=("col_chunk",))
+def pairwise_cd_matrix(gen: jax.Array, ref: jax.Array,
+                       col_chunk: int = 0) -> jax.Array:
+    """[S1, N, 3] x [S2, M, 3] -> [S1, S2] of mean-CD (dl.mean + dr.mean),
+    the reference's `pairwise_CD` (loss_utils.py:519-546)."""
+
+    def one_row(cloud):                                   # [N,3] vs all refs
+        d = pairwise_sqdist(cloud[None], ref)             # [S2, N, M]
+        return jnp.min(d, axis=-1).mean(-1) + jnp.min(d, axis=-2).mean(-1)
+
+    return lax.map(one_row, gen)
+
+
+def pairwise_emd_matrix(gen: jax.Array, ref: jax.Array, eps: float = 0.005,
+                        iters: int = 50, row_batch: int = 8) -> np.ndarray:
+    """[S1,N,3] x [S2,N,3] -> [S1,S2] mean L2 EMD (lgan protocol,
+    `_pairwise_EMD_CD_`, loss_utils.py:311-340). Rows processed in batches —
+    each entry is an auction solve, the expensive metric."""
+    S1, S2 = gen.shape[0], ref.shape[0]
+
+    @jax.jit
+    def rows(g_block):                                    # [R, N, 3]
+        def one(cloud):
+            d, _ = emd_auction(
+                jnp.broadcast_to(cloud[None], ref.shape), ref, eps, iters)
+            return jnp.sqrt(jnp.maximum(d, 0)).mean(-1)   # [S2]
+        return lax.map(one, g_block)
+
+    out = []
+    for lo in range(0, S1, row_batch):
+        out.append(np.asarray(rows(gen[lo:lo + row_batch])))
+    return np.concatenate(out, axis=0)
+
+
+def coverage(dists: np.ndarray) -> float:
+    """COV (loss_utils.py:548): fraction of refs matched as someone's NN."""
+    dists = np.asarray(dists)
+    return float(len(np.unique(dists.argmin(axis=1)))) / dists.shape[1]
+
+
+def mmd(dists: np.ndarray) -> float:
+    """MMD (loss_utils.py:552): mean over refs of their closest gen."""
+    return float(np.asarray(dists).min(axis=0).mean())
+
+
+def knn_two_sample(mxx: np.ndarray, mxy: np.ndarray, myy: np.ndarray,
+                   k: int = 1) -> float:
+    """1-NN two-sample accuracy (loss_utils.py:556-572). 0.5 is ideal."""
+    mxx, mxy, myy = map(np.asarray, (mxx, mxy, myy))
+    n0, n1 = mxx.shape[0], myy.shape[0]
+    label = np.concatenate([-np.ones(n0), np.ones(n1)])
+    m = np.block([[mxx, mxy], [mxy.T, myy]])
+    np.fill_diagonal(m, np.inf)
+    nn_idx = np.argsort(m, axis=0)[:k]                 # k smallest per column
+    count = label[nn_idx].sum(axis=0)
+    pred = np.where(count >= 0, 1.0, -1.0)
+    return float((pred == label).mean())
+
+
+def jsd(clouds1: np.ndarray, clouds2: np.ndarray, res: int = 28) -> float:
+    """Jensen-Shannon divergence between voxel occupancy distributions
+    (loss_utils.py:473-516), in bits."""
+    p = np.asarray(voxel_occupancy(jnp.asarray(clouds1), res=res), np.float64)
+    q = np.asarray(voxel_occupancy(jnp.asarray(clouds2), res=res), np.float64)
+    p, q = p / max(p.sum(), 1), q / max(q.sum(), 1)
+
+    def entropy(d):
+        nz = d[d > 0]
+        return float(-(nz * np.log2(nz)).sum())
+
+    m = 0.5 * (p + q)
+    return entropy(m) - 0.5 * (entropy(p) + entropy(q))
+
+
+def f_score(pred: jax.Array, gt: jax.Array, threshold: float = 0.001) -> np.ndarray:
+    """F-score at a squared-distance threshold (loss_utils.py:467-471)."""
+    d = pairwise_sqdist(pred, gt)
+    ld = jnp.min(d, axis=-1)
+    rd = jnp.min(d, axis=-2)
+    precision = 100.0 * (rd < threshold).mean(axis=1)
+    recall = 100.0 * (ld < threshold).mean(axis=1)
+    return np.asarray(2 * precision * recall / (precision + recall + 1e-7))
+
+
+def compute_all_metrics(
+    sample_pcs,
+    ref_pcs,
+    normalize: bool = False,
+    use_emd: bool = False,
+    emd_eps: float = 0.002,
+    emd_iters: int = 512,
+) -> Dict[str, float]:
+    """The reference evaluation protocol (`compute_all_metrics2`,
+    loss_utils.py:430-463): JSD + COV-CD + MMD-CD + 1NN-CD; optional EMD
+    variants (lgan protocol, loss_utils.py:398-426)."""
+    from sp_gan_tpu.data.augment import normalize_point_cloud
+
+    gen = jnp.asarray(sample_pcs)
+    ref = jnp.asarray(ref_pcs)
+    if normalize:
+        gen = jnp.asarray(normalize_point_cloud(np.asarray(gen)))
+
+    gg = np.asarray(pairwise_cd_matrix(gen, gen))
+    tt = np.asarray(pairwise_cd_matrix(ref, ref))
+    gt = np.asarray(pairwise_cd_matrix(gen, ref))
+
+    out = {
+        "JSD": jsd(np.asarray(gen), np.asarray(ref)),
+        "COV-CD": coverage(gt),
+        "MMD-CD": mmd(gt),
+        "1NN-CD": knn_two_sample(gg, gt, tt, 1),
+    }
+    if use_emd:
+        gg_e = pairwise_emd_matrix(gen, gen, emd_eps, emd_iters)
+        tt_e = pairwise_emd_matrix(ref, ref, emd_eps, emd_iters)
+        gt_e = pairwise_emd_matrix(gen, ref, emd_eps, emd_iters)
+        out.update({
+            "COV-EMD": coverage(gt_e),
+            "MMD-EMD": mmd(gt_e),
+            "1NN-EMD": knn_two_sample(gg_e, gt_e, tt_e, 1),
+        })
+    return out

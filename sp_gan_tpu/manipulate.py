@@ -1,0 +1,188 @@
+"""Latent-space shape manipulation API.
+
+Rebuild of the reference's manipulation surface
+(`/root/reference/Generation/model_test.py`, driven by `visual.py`). Every
+routine there is a pure z-tensor edit over the fixed sphere-template point
+ordering (SURVEY.md §3.3) — no model surgery — so here they are small pure
+functions producing z tensors plus a `Manipulator` that batches them through
+the jitted generator.
+
+Reference routine -> API:
+  simple_gen            (:139) -> Manipulator.generate
+  draw_correspondense   (:207) -> Manipulator.correspondence
+  draw_shape_intepolate (:279) -> Manipulator.shape_interpolate
+  draw_part_shape_inte  (:342) -> Manipulator.part_interpolate
+  draw_part_edit        (:578) -> Manipulator.part_edit
+  draw_part_flip        (:763) -> Manipulator.part_flip
+  draw_part_exchange    (:859) -> Manipulator.part_exchange
+  draw_edit_inte        (:665) -> Manipulator.edit_interpolate
+Mask builders: half_space_mask, region_mask (the sphere-region growing the
+reference does with its precomputed ball distance matrix, model.py:162-167).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.data.augment import normalize_point_cloud
+from sp_gan_tpu.data.sphere import sphere_sqdist, sphere_template
+
+
+# ---------------------------------------------------------------- masks
+def half_space_mask(ball: np.ndarray, axis: int = 0,
+                    threshold: float = 0.0, positive: bool = True) -> np.ndarray:
+    """{0,1}^N mask of template points on one side of an axis plane
+    (draw_part_flip's half-space selection, model_test.py:797-835)."""
+    side = ball[:, axis] > threshold
+    return (side if positive else ~side).astype(np.int32)
+
+
+def region_mask(ball: np.ndarray, anchor: int, num: int) -> np.ndarray:
+    """{0,1}^N mask of the `num` template points nearest to point `anchor`
+    (the region-growing used by n_mix and the part routines)."""
+    d = sphere_sqdist(ball)[anchor]
+    idx = np.argsort(d)[:num]
+    mask = np.zeros(len(ball), np.int32)
+    mask[idx] = 1
+    return mask
+
+
+# ---------------------------------------------------------------- z edits
+def blend_z(z1: jax.Array, z2: jax.Array, mask, alpha: float) -> jax.Array:
+    """z = z1 outside mask; (1-a) z1 + a z2 inside (model_test.py:427-445)."""
+    m = jnp.asarray(mask).reshape(1, -1, 1).astype(z1.dtype)
+    return z1 * (1 - m * alpha) + z2 * (m * alpha)
+
+
+def replace_z(z1: jax.Array, z2: jax.Array, mask) -> jax.Array:
+    """Splice: take z2 inside the mask (draw_part_edit, :633-650)."""
+    m = jnp.asarray(mask).reshape(1, -1, 1).astype(bool)
+    return jnp.where(m, z2, z1)
+
+
+def flip_z(z: jax.Array, mask) -> jax.Array:
+    """Negate the code inside the mask (draw_part_flip, :797-835)."""
+    m = jnp.asarray(mask).reshape(1, -1, 1).astype(bool)
+    return jnp.where(m, -z, z)
+
+
+def exchange_z(za: jax.Array, zb: jax.Array, mask):
+    """Swap codes between two shapes inside the mask (draw_part_exchange,
+    :932-945). Returns (za', zb')."""
+    m = jnp.asarray(mask).reshape(1, -1, 1).astype(bool)
+    return jnp.where(m, zb, za), jnp.where(m, za, zb)
+
+
+# ---------------------------------------------------------------- driver
+class Manipulator:
+    """Wraps a trained generator for the manipulation routines.
+
+    Loads G only — mirrors `build_model_eval` (model_test.py:52-64); all
+    forwards run in eval mode (BatchNorm running averages).
+    """
+
+    def __init__(self, cfg: Config, g_params, g_stats, sphere: Optional[np.ndarray] = None):
+        from sp_gan_tpu.nn import Generator
+        self.cfg = cfg
+        self.ball = sphere if sphere is not None else sphere_template(cfg.np, cfg.template)
+        self.sphere = jnp.asarray(self.ball)
+        self.G = Generator(cfg)
+        self.variables = {"params": g_params, "batch_stats": g_stats}
+        self._fwd = jax.jit(lambda v, x, z: self.G.apply(v, x, z, train=False))
+
+    # -------------------------------------------------------------- core
+    def forward(self, z: jax.Array) -> np.ndarray:
+        B = z.shape[0]
+        x = jnp.broadcast_to(self.sphere[None], (B,) + self.sphere.shape)
+        return np.asarray(self._fwd(self.variables, x, z))
+
+    def sample_codes(self, n: int, seed: int = 0, per_point: bool = False) -> jax.Array:
+        key = jax.random.PRNGKey(seed)
+        shape = (n, self.cfg.np if per_point else 1, self.cfg.nz)
+        z = self.cfg.nv * jax.random.normal(key, shape)
+        return jnp.broadcast_to(z, (n, self.cfg.np, self.cfg.nz))
+
+    # -------------------------------------------------------------- API
+    def generate(self, n: int, seed: int = 0, normalize: bool = True,
+                 batch: int = 64) -> np.ndarray:
+        """simple_gen: n shapes [n, N, 3] (normalized like model_test:139-203)."""
+        outs = []
+        for lo in range(0, n, batch):
+            z = self.sample_codes(min(batch, n - lo), seed + lo)
+            outs.append(self.forward(z))
+        pcs = np.concatenate(outs, axis=0)
+        return np.asarray(normalize_point_cloud(pcs)) if normalize else pcs
+
+    def correspondence(self, n: int = 4, seed: int = 0):
+        """Shapes + per-point colors from sphere xyz (draw_correspondense:
+        color = template coords mapped to [0,1]^3)."""
+        pcs = self.generate(n, seed)
+        colors = (self.ball - self.ball.min(0)) / np.ptp(self.ball, 0)
+        return pcs, np.broadcast_to(colors[None], pcs.shape).copy()
+
+    def shape_interpolate(self, seed_a: int = 0, seed_b: int = 1,
+                          steps: int = 6) -> np.ndarray:
+        """Global z interpolation between two shapes (:279-341). [steps,N,3]."""
+        za = self.sample_codes(1, seed_a)
+        zb = self.sample_codes(1, seed_b)
+        alphas = np.linspace(0.0, 1.0, steps)
+        zs = jnp.concatenate([za * (1 - a) + zb * a for a in alphas], axis=0)
+        return self.forward(zs)
+
+    def part_interpolate(self, mask, seed_a: int = 0, seed_b: int = 1,
+                         steps: int = 6) -> np.ndarray:
+        """Interpolate z only inside `mask` (:342-455)."""
+        za = self.sample_codes(1, seed_a)
+        zb = self.sample_codes(1, seed_b)
+        zs = jnp.concatenate(
+            [blend_z(za, zb, mask, a) for a in np.linspace(0, 1, steps)], axis=0)
+        return self.forward(zs)
+
+    def part_edit(self, mask, seed: int = 0, n_variants: int = 4) -> np.ndarray:
+        """Keep the shape, resample the masked part (:578-663).
+        Returns [1+n_variants, N, 3] (original first)."""
+        z = self.sample_codes(1, seed)
+        zs = [z]
+        for i in range(n_variants):
+            z2 = self.sample_codes(1, seed + 101 + i)
+            zs.append(replace_z(z, z2, mask))
+        return self.forward(jnp.concatenate(zs, axis=0))
+
+    def part_flip(self, axis: int = 0, seed: int = 0, n: int = 4) -> np.ndarray:
+        """Negate z on a half-space for n shapes (:763-857).
+        Returns [2n, N, 3]: (orig, flipped) pairs."""
+        mask = half_space_mask(self.ball, axis=axis)
+        z = self.sample_codes(n, seed)
+        return self.forward(jnp.concatenate([z, flip_z(z, mask)], axis=0))
+
+    def part_exchange(self, mask, seed_a: int = 0, seed_b: int = 1) -> np.ndarray:
+        """Swap a region's codes between two shapes (:859-976).
+        Returns [4, N, 3]: a, b, a-with-b-part, b-with-a-part."""
+        za = self.sample_codes(1, seed_a)
+        zb = self.sample_codes(1, seed_b)
+        zab, zba = exchange_z(za, zb, mask)
+        return self.forward(jnp.concatenate([za, zb, zab, zba], axis=0))
+
+    def edit_interpolate(self, mask, seed: int = 0, seed_edit: int = 7,
+                         steps: int = 6) -> np.ndarray:
+        """Part edit + interpolation toward the edit (:665-761)."""
+        z = self.sample_codes(1, seed)
+        z2 = self.sample_codes(1, seed_edit)
+        zs = jnp.concatenate(
+            [blend_z(z, z2, mask, a) for a in np.linspace(0, 1, steps)], axis=0)
+        return self.forward(zs)
+
+
+def from_checkpoint(ckpt_path: str, cfg: Config) -> Manipulator:
+    """Build a Manipulator from a training checkpoint (G-only load, like the
+    reference eval-side `load`, model_test.py:978-1009)."""
+    from sp_gan_tpu.train.checkpoint import load_checkpoint
+    from sp_gan_tpu.train.state import create_train_state
+    template, *_ = create_train_state(cfg, jax.random.PRNGKey(0))
+    state, _ = load_checkpoint(ckpt_path, template)
+    return Manipulator(cfg, state.g_params, state.g_stats)

@@ -1,0 +1,153 @@
+"""The fused, jitted G+D training step.
+
+Reference loop (`/root/reference/Generation/model.py:239-279`) per batch:
+  D-step: fresh z, fake = G(x,z).detach(); D(real), D(fake) as *separate*
+          forwards (separate BatchNorm batch statistics — preserved here);
+          dis_loss; Adam step on D.
+  G-step: fresh z; G(x,z); D(fake) against the *updated* D; gen_loss;
+          Adam step on G.
+
+Here both phases are one XLA program: a single `jit` with donated state, so
+weight updates happen in-place in HBM and the host only sees scalar metrics.
+The `requires_grad` freezing dance (model.py:240-241,264-265) is replaced by
+taking `jax.grad` w.r.t. exactly the right parameter subtree.
+
+Data parallelism: call via jit with the batch sharded over the mesh's `data`
+axis and the state replicated — XLA GSPMD inserts the gradient all-reduces
+(the TPU equivalent of DataParallel, SURVEY.md §2.4). BatchNorm then computes
+*per-shard* statistics, exactly like the reference under DataParallel (its
+sync_bn exists but is unwired — SURVEY.md §2.4); flip `sync_norm=True` in
+`make_train_step` to psum-average the stats over shards instead (what sync_bn
+would have done).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.data.noise import sample_z
+from sp_gan_tpu.losses import dis_loss, gen_loss, wgan_gp
+from sp_gan_tpu.train.state import TrainState
+
+
+def make_train_step(
+    cfg: Config,
+    G,
+    D,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    sphere: jax.Array,
+    ball_sqdist: Optional[jax.Array] = None,
+    mesh=None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """Returns jitted `step(state, real_batch) -> (state, metrics)`.
+
+    `sphere` [N,3] is closed over as a compile-time constant (it is static for
+    the whole run, reference model.py:231). real_batch: [B, N, 3].
+    """
+    use_gp = cfg.gan == "wgan" and cfg.lambda_gp > 0
+
+    def g_forward(g_params, g_stats, x, z):
+        return G.apply({"params": g_params, "batch_stats": g_stats},
+                       x, z, train=True, mutable=["batch_stats"])
+
+    def d_forward(d_params, d_stats, pts):
+        return D.apply({"params": d_params, "batch_stats": d_stats},
+                       pts, train=True, mutable=["batch_stats"])
+
+    def step(state: TrainState, real: jax.Array):
+        B = real.shape[0]
+        x = jnp.broadcast_to(sphere[None], (B,) + sphere.shape)
+        rng, k_zd, k_zg, k_nd, k_ng, k_gp = jax.random.split(state.rng, 6)
+
+        # ---------------- D step ----------------
+        z_d = sample_z(k_zd, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
+                       cfg.n_mix, ball_sqdist)
+        fake, g_mut = g_forward(state.g_params, state.g_stats, x, z_d)
+        fake = jax.lax.stop_gradient(fake)
+        g_stats = g_mut["batch_stats"]
+
+        def d_loss_fn(d_params):
+            logit_real, mut1 = d_forward(d_params, state.d_stats, real)
+            logit_fake, mut2 = d_forward(d_params, mut1["batch_stats"], fake)
+            loss, info = dis_loss(logit_real, logit_fake, gan=cfg.gan,
+                                  noise_label=cfg.flip_d, rng=k_nd)
+            if use_gp:
+                d_only = lambda pts: d_forward(d_params, state.d_stats, pts)[0]
+                loss = loss + wgan_gp(d_only, real, fake, k_gp, cfg.lambda_gp)
+            return loss, (mut2["batch_stats"], info)
+
+        (d_loss_val, (d_stats, d_info)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G step (against updated D) ----------------
+        z_g = sample_z(k_zg, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
+                       cfg.n_mix, ball_sqdist)
+
+        def g_loss_fn(g_params):
+            fake2, mutg = g_forward(g_params, g_stats, x, z_g)
+            logit_fake, mutd = d_forward(d_params, d_stats, fake2)
+            if cfg.gan == "real":
+                logit_real, mutd = d_forward(d_params, mutd["batch_stats"], real)
+            else:
+                logit_real = None
+            loss, _ = gen_loss(logit_real, logit_fake, gan=cfg.gan,
+                               noise_label=cfg.flip_g, rng=k_ng)
+            return loss, (mutg["batch_stats"], mutd["batch_stats"])
+
+        (g_loss_val, (g_stats, d_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_ema = state.g_ema
+        if g_ema is not None:
+            decay = cfg.ema_rate
+            g_ema = jax.tree.map(
+                lambda e, p: decay * e + (1.0 - decay) * p, g_ema, g_params)
+
+        new_state = state.replace(
+            g_params=g_params, g_stats=g_stats, d_params=d_params,
+            d_stats=d_stats, g_opt=g_opt, d_opt=d_opt, g_ema=g_ema,
+            step=state.step + 1, rng=rng)
+        metrics = {
+            "d_loss": d_loss_val,
+            "g_loss": g_loss_val,
+            "real_acc": d_info["real_acc"],
+            "fake_acc": d_info["fake_acc"],
+        }
+        return new_state, metrics
+
+    donate = (0,) if cfg.donate_state else ()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data", None, None))
+        return jax.jit(step, donate_argnums=donate,
+                       in_shardings=(rep, data),
+                       out_shardings=(rep, rep))
+    return jax.jit(step, donate_argnums=donate)
+
+
+def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
+    """Jitted sampler: (state, z [B,N,nz]) -> clouds [B,N,3] (eval mode —
+    BatchNorm running averages, the reference's `draw_sample` path)."""
+
+    @jax.jit
+    def sample(state: TrainState, z: jax.Array):
+        B = z.shape[0]
+        x = jnp.broadcast_to(sphere[None], (B,) + sphere.shape)
+        params = state.g_ema if (use_ema and state.g_ema is not None) \
+            else state.g_params
+        return G.apply({"params": params, "batch_stats": state.g_stats},
+                       x, z, train=False)
+
+    return sample

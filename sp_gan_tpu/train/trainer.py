@@ -1,0 +1,179 @@
+"""Experiment driver — rebuild of the reference trainer
+(`/root/reference/Generation/model.py:182-334`): epoch loop, alternating G/D
+updates (fused into one jitted step), meters, `log_train.txt` + `args.txt`
+logging, periodic checkpoints, optional sample dumps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.data import (
+    H5Dataset,
+    SyntheticDataset,
+    augment_batch,
+    prefetch_to_device,
+    sphere_sqdist,
+    sphere_template,
+)
+from sp_gan_tpu.data.noise import sample_z
+from sp_gan_tpu.parallel import batch_sharding, make_mesh
+from sp_gan_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from sp_gan_tpu.train.state import create_train_state, param_count
+from sp_gan_tpu.train.step import make_sample_fn, make_train_step
+from sp_gan_tpu.utils import AverageValueMeter, enable_compile_cache
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset=None):
+        enable_compile_cache()
+        self.cfg = cfg
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        self._log_fout = open(
+            os.path.join(cfg.log_dir, "log_train.txt"),
+            "a" if cfg.restore else "w")
+        with open(os.path.join(cfg.log_dir, "args.txt"), "w") as f:
+            f.write(cfg.to_json())
+
+        # data
+        if dataset is not None:
+            self.dataset = dataset
+        else:
+            try:
+                self.dataset = H5Dataset(cfg.data_root, cfg.choice, cfg.np,
+                                         cfg.scale)
+            except (FileNotFoundError, OSError) as e:
+                self.log(f"H5 data unavailable ({e}); using synthetic data")
+                self.dataset = SyntheticDataset(n_points=cfg.np)
+        self.steps_per_epoch = cfg.steps_per_epoch or max(
+            1, len(self.dataset) // cfg.bs)
+
+        # sphere template (static input x, reference model.py:231)
+        ball = sphere_template(cfg.np, cfg.template)
+        self.sphere = jnp.asarray(ball)
+        self.ball_sqdist = jnp.asarray(sphere_sqdist(ball)) if cfg.n_mix else None
+
+        # mesh (data-parallel)
+        n_mesh = int(np.prod(cfg.mesh_shape))
+        self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if n_mesh > 1 else None
+
+        # state + step
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state, self.G, self.D, g_tx, d_tx = create_train_state(
+            cfg, rng, self.steps_per_epoch)
+        self.log(f"# generator parameters: {param_count(self.state.g_params)}")
+        self.log(f"# discriminator parameters: {param_count(self.state.d_params)}")
+        self.train_step = make_train_step(cfg, self.G, self.D, g_tx, d_tx,
+                                          self.sphere, self.ball_sqdist,
+                                          mesh=self.mesh)
+        self.sample_fn = make_sample_fn(cfg, self.G, self.sphere,
+                                        use_ema=cfg.ema)
+        self.start_epoch = 1
+        if cfg.restore:
+            path = latest_checkpoint(cfg.log_dir)
+            if path:
+                self.state, epoch = load_checkpoint(path, self.state)
+                self.start_epoch = epoch + 1
+                self.log(f"[*] restored {path} (epoch {epoch})")
+
+        # fixed z for periodic sample grids (model.py:232)
+        self.fix_z = sample_z(jax.random.PRNGKey(cfg.seed + 1), 64, cfg.np,
+                              cfg.nz, cfg.nv, cfg.n_rand)
+
+        self._augment = jax.jit(
+            lambda key, pc: augment_batch(key, pc, True)) if cfg.augment else None
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str):
+        self._log_fout.write(msg + "\n")
+        self._log_fout.flush()
+        print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def train(self, max_epoch: Optional[int] = None):
+        cfg = self.cfg
+        max_epoch = max_epoch or cfg.max_epoch
+        rng_np = np.random.default_rng(cfg.seed)
+        aug_key = jax.random.PRNGKey(cfg.seed + 2)
+        sharding = batch_sharding(self.mesh) if self.mesh else None
+
+        d_meter, g_meter = AverageValueMeter(), AverageValueMeter()
+        ra_meter, fa_meter = AverageValueMeter(), AverageValueMeter()
+        t_start = time.time()
+        global_step = 0
+
+        for epoch in range(self.start_epoch, max_epoch + 1):
+            batches = prefetch_to_device(
+                self.dataset.epoch_batches(rng_np, cfg.bs), size=2,
+                sharding=sharding)
+            metrics = None
+            for real in batches:
+                if self._augment is not None:
+                    aug_key, k = jax.random.split(aug_key)
+                    real = self._augment(k, real)
+                self.state, metrics = self.train_step(self.state, real)
+                global_step += 1
+                if cfg.save and global_step % 20 == 0:
+                    self.dump_samples(epoch, global_step)
+                if global_step % cfg.log_every == 0 and metrics is not None:
+                    m = jax.device_get(metrics)
+                    d_meter.update(float(m["d_loss"]))
+                    g_meter.update(float(m["g_loss"]))
+                    ra_meter.update(float(m["real_acc"]))
+                    fa_meter.update(float(m["fake_acc"]))
+
+            dt = time.time() - t_start
+            self.log("Epoch: [%2d] time: %2dm %2ds d_loss: %.8f, g_loss: %.8f"
+                     % (epoch, dt / 60, dt % 60, d_meter.avg, g_meter.avg))
+            self.log("real_acc: %f  fake_acc: %f" % (ra_meter.avg, fa_meter.avg))
+
+            if epoch % cfg.snapshot == 0:
+                save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
+
+        save_checkpoint(cfg.log_dir, self.state, max_epoch, cfg)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def generate(self, n: int, seed: int = 0, batch: int = 64) -> np.ndarray:
+        """Batch generation (model_test.simple_gen equivalent): [n, N, 3]."""
+        outs = []
+        key = jax.random.PRNGKey(seed)
+        for lo in range(0, n, batch):
+            bs = min(batch, n - lo)
+            key, kz = jax.random.split(key)
+            z = sample_z(kz, bs, self.cfg.np, self.cfg.nz, self.cfg.nv,
+                         self.cfg.n_rand)
+            outs.append(np.asarray(self.sample_fn(self.state, z)))
+        return np.concatenate(outs, axis=0)
+
+    def dump_samples(self, epoch: int, step: int, grid=(8, 8)):
+        """Periodic sample dump (model.py:371-410): an 8x8 grid PNG plus
+        per-sample .xyz files under log_dir/plot."""
+        from sp_gan_tpu.data.augment import normalize_point_cloud
+        from sp_gan_tpu.viz import plot_grid, save_xyz
+
+        eval_dir = os.path.join(self.cfg.log_dir, "plot")
+        os.makedirs(eval_dir, exist_ok=True)
+        rows = []
+        for i in range(grid[0]):
+            z = self.fix_z[i * grid[1]:(i + 1) * grid[1]]
+            pcs = np.asarray(self.sample_fn(self.state, z))
+            rows.append(0.75 * np.asarray(normalize_point_cloud(pcs)))
+        plot_grid(os.path.join(eval_dir, f"{step}.png"), rows)
+        for i, row in enumerate(rows):
+            for j, pc in enumerate(row):
+                sid = i * grid[1] + j
+                d = os.path.join(eval_dir, "sample", str(sid))
+                os.makedirs(d, exist_ok=True)
+                save_xyz(os.path.join(d, f"{sid}_step_{step}.xyz"), pc)

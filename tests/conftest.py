@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU plugin registers itself at interpreter startup and
+# ignores JAX_PLATFORMS; these config knobs reliably force the 8-device CPU
+# mesh the sharding tests need.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: repeated test runs hit the disk cache
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

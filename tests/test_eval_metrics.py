@@ -1,0 +1,128 @@
+"""Metric-suite tests vs numpy oracles and sanity properties."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_gan_tpu.eval import (
+    compute_all_metrics,
+    coverage,
+    f_score,
+    frechet_distance,
+    jsd,
+    knn_two_sample,
+    mmd,
+    pairwise_cd_matrix,
+)
+from sp_gan_tpu.eval.fpd import FPD, activation_statistics
+
+
+def brute_cd(a, b):
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return d.min(1).mean() + d.min(0).mean()
+
+
+class TestPairwiseCD:
+    def test_matches_oracle(self, rng):
+        gen = rng.standard_normal((3, 16, 3)).astype(np.float32)
+        ref = rng.standard_normal((4, 16, 3)).astype(np.float32)
+        M = np.asarray(pairwise_cd_matrix(jnp.array(gen), jnp.array(ref)))
+        assert M.shape == (3, 4)
+        for i in range(3):
+            for j in range(4):
+                assert M[i, j] == pytest.approx(brute_cd(gen[i], ref[j]), rel=1e-4)
+
+    def test_self_diagonal_zero(self, rng):
+        x = rng.standard_normal((3, 16, 3)).astype(np.float32)
+        M = np.asarray(pairwise_cd_matrix(jnp.array(x), jnp.array(x)))
+        np.testing.assert_allclose(np.diag(M), 0.0, atol=1e-5)
+
+
+class TestSummaries:
+    def test_cov_full(self):
+        d = np.array([[0.1, 1.0], [1.0, 0.1]])  # each gen matches distinct ref
+        assert coverage(d) == 1.0
+
+    def test_cov_collapsed(self):
+        d = np.array([[0.1, 1.0], [0.1, 1.0]])  # both gens match ref 0
+        assert coverage(d) == 0.5
+
+    def test_mmd(self):
+        d = np.array([[0.5, 2.0], [1.0, 0.25]])
+        assert mmd(d) == pytest.approx((0.5 + 0.25) / 2)
+
+    def test_1nn_separable_is_1(self, rng):
+        """Perfectly distinguishable sets -> accuracy 1."""
+        a = rng.standard_normal((8, 8))
+        gg = ((a[:, None] - a[None]) ** 2).sum(-1)
+        tt = gg.copy()
+        gt = np.full((8, 8), 100.0)  # far apart
+        assert knn_two_sample(gg, gt, tt, 1) == 1.0
+
+    def test_1nn_identical_is_half_ish(self, rng):
+        """Interleaved identical distributions -> ~0.5."""
+        x = rng.standard_normal((64, 4))
+        y = rng.standard_normal((64, 4))
+        dx = lambda a, b: ((a[:, None] - b[None]) ** 2).sum(-1)
+        acc = knn_two_sample(dx(x, x), dx(x, y), dx(y, y), 1)
+        assert 0.3 < acc < 0.7
+
+
+class TestJSD:
+    def test_identical_zero(self, rng):
+        c = rng.uniform(-0.4, 0.4, (8, 128, 3)).astype(np.float32)
+        assert jsd(c, c) == pytest.approx(0.0, abs=1e-9)
+
+    def test_disjoint_one_bit(self, rng):
+        a = rng.uniform(-0.45, -0.05, (4, 128, 3)).astype(np.float32)
+        b = rng.uniform(0.05, 0.45, (4, 128, 3)).astype(np.float32)
+        assert jsd(a, b) == pytest.approx(1.0, abs=0.01)  # log2 base
+
+
+class TestFullProtocol:
+    def test_compute_all_metrics_keys(self, rng):
+        gen = rng.uniform(-0.4, 0.4, (6, 32, 3)).astype(np.float32)
+        ref = rng.uniform(-0.4, 0.4, (6, 32, 3)).astype(np.float32)
+        m = compute_all_metrics(gen, ref)
+        assert set(m) == {"JSD", "COV-CD", "MMD-CD", "1NN-CD"}
+        assert all(np.isfinite(v) for v in m.values())
+
+    def test_perfect_generator(self, rng):
+        ref = rng.uniform(-0.4, 0.4, (6, 32, 3)).astype(np.float32)
+        m = compute_all_metrics(ref, ref)
+        assert m["MMD-CD"] == pytest.approx(0.0, abs=1e-6)
+        assert m["COV-CD"] == 1.0
+
+    def test_f_score(self, rng):
+        x = jnp.array(rng.uniform(-0.4, 0.4, (2, 32, 3)).astype(np.float32))
+        f = f_score(x, x, threshold=0.001)
+        np.testing.assert_allclose(f, 100.0, atol=0.1)
+
+
+class TestFPD:
+    def test_frechet_identical_zero(self, rng):
+        mu = rng.standard_normal(8)
+        a = rng.standard_normal((32, 8))
+        sigma = np.cov(a, rowvar=False)
+        assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+
+    def test_frechet_mean_shift(self):
+        mu1, mu2 = np.zeros(4), np.ones(4) * 2
+        s = np.eye(4)
+        assert frechet_distance(mu1, s, mu2, s) == pytest.approx(16.0, abs=1e-6)
+
+    def test_fpd_end_to_end(self, rng):
+        fpd = FPD(k=4, feat_dims=32, batch_size=4)
+        a = rng.uniform(-0.5, 0.5, (8, 24, 3)).astype(np.float32)
+        b = rng.uniform(-0.5, 0.5, (8, 24, 3)).astype(np.float32)
+        same = fpd(a, a)
+        diff = fpd(a, b * 3.0)  # scaled — clearly different
+        assert same == pytest.approx(0.0, abs=1e-3)
+        assert diff > same
+
+    def test_stats_roundtrip(self, tmp_path, rng):
+        fpd = FPD(k=4, feat_dims=32, batch_size=4)
+        a = rng.uniform(-0.5, 0.5, (8, 24, 3)).astype(np.float32)
+        p = str(tmp_path / "stats.npz")
+        fpd.save_statistics(a, p)
+        assert fpd(a, stats_path=p) == pytest.approx(0.0, abs=1e-3)

@@ -1,0 +1,123 @@
+"""Manipulation API tests: masks, z edits, and the full Manipulator surface
+(the `visual.py` parity layer, SURVEY.md §3.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.data import sphere_template
+from sp_gan_tpu.manipulate import (
+    Manipulator,
+    blend_z,
+    exchange_z,
+    flip_z,
+    half_space_mask,
+    region_mask,
+    replace_z,
+)
+
+
+@pytest.fixture(scope="module")
+def man():
+    cfg = Config(np=32, nk=8, nz=16)
+    from sp_gan_tpu.nn import Generator
+    G = Generator(cfg)
+    x = jnp.zeros((1, cfg.np, 3))
+    z = jnp.zeros((1, cfg.np, cfg.nz))
+    gv = G.init(jax.random.PRNGKey(0), x, z, train=True)
+    return Manipulator(cfg, gv["params"], gv["batch_stats"])
+
+
+class TestMasks:
+    def test_half_space_partition(self):
+        ball = sphere_template(64)
+        m_pos = half_space_mask(ball, axis=0, positive=True)
+        m_neg = half_space_mask(ball, axis=0, positive=False)
+        np.testing.assert_array_equal(m_pos + m_neg, 1)
+        assert 10 < m_pos.sum() < 54  # roughly half
+
+    def test_region_mask(self):
+        ball = sphere_template(64)
+        m = region_mask(ball, anchor=3, num=10)
+        assert m.sum() == 10
+        assert m[3] == 1  # anchor is its own nearest
+
+
+class TestZEdits:
+    def setup_method(self):
+        k = jax.random.PRNGKey(0)
+        self.z1 = jax.random.normal(k, (1, 8, 4))
+        self.z2 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 4))
+        self.mask = np.array([1, 1, 1, 1, 0, 0, 0, 0])
+
+    def test_blend_endpoints(self):
+        z0 = blend_z(self.z1, self.z2, self.mask, 0.0)
+        np.testing.assert_allclose(np.asarray(z0), np.asarray(self.z1), atol=1e-6)
+        z1 = np.asarray(blend_z(self.z1, self.z2, self.mask, 1.0))
+        np.testing.assert_allclose(z1[0, :4], np.asarray(self.z2)[0, :4], atol=1e-6)
+        np.testing.assert_allclose(z1[0, 4:], np.asarray(self.z1)[0, 4:], atol=1e-6)
+
+    def test_replace(self):
+        out = np.asarray(replace_z(self.z1, self.z2, self.mask))
+        np.testing.assert_array_equal(out[0, :4], np.asarray(self.z2)[0, :4])
+        np.testing.assert_array_equal(out[0, 4:], np.asarray(self.z1)[0, 4:])
+
+    def test_flip(self):
+        out = np.asarray(flip_z(self.z1, self.mask))
+        np.testing.assert_array_equal(out[0, :4], -np.asarray(self.z1)[0, :4])
+        np.testing.assert_array_equal(out[0, 4:], np.asarray(self.z1)[0, 4:])
+
+    def test_exchange_symmetric(self):
+        a, b = exchange_z(self.z1, self.z2, self.mask)
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(a[0, :4], np.asarray(self.z2)[0, :4])
+        np.testing.assert_array_equal(b[0, :4], np.asarray(self.z1)[0, :4])
+        np.testing.assert_array_equal(a[0, 4:], np.asarray(self.z1)[0, 4:])
+
+
+class TestManipulator:
+    def test_generate(self, man):
+        pcs = man.generate(3, seed=0)
+        assert pcs.shape == (3, 32, 3)
+        # normalized clouds
+        r = np.linalg.norm(pcs, axis=-1).max(1)
+        np.testing.assert_allclose(r, 1.0, atol=1e-3)
+
+    def test_correspondence(self, man):
+        pcs, colors = man.correspondence(2)
+        assert colors.shape == pcs.shape
+        assert colors.min() >= 0 and colors.max() <= 1
+
+    def test_shape_interpolate_endpoints_differ(self, man):
+        pcs = man.shape_interpolate(0, 1, steps=4)
+        assert pcs.shape == (4, 32, 3)
+        assert np.abs(pcs[0] - pcs[-1]).max() > 1e-4
+
+    def test_part_interpolate_moves_only_part(self, man):
+        mask = region_mask(man.ball, 0, 16)
+        pcs = man.part_interpolate(mask, 0, 1, steps=3)
+        assert pcs.shape == (3, 32, 3)
+
+    def test_part_edit_keeps_unmasked_z_effect(self, man):
+        mask = region_mask(man.ball, 0, 8)
+        pcs = man.part_edit(mask, seed=0, n_variants=2)
+        assert pcs.shape == (3, 32, 3)
+        # variants differ from original
+        assert np.abs(pcs[0] - pcs[1]).max() > 1e-5
+
+    def test_part_flip_pairs(self, man):
+        pcs = man.part_flip(axis=0, n=2)
+        assert pcs.shape == (4, 32, 3)
+
+    def test_part_exchange(self, man):
+        mask = region_mask(man.ball, 0, 16)
+        pcs = man.part_exchange(mask, 0, 1)
+        assert pcs.shape == (4, 32, 3)
+
+    def test_same_z_same_shape(self, man):
+        """Determinism of the eval-mode forward over the fixed sphere."""
+        a = man.shape_interpolate(0, 1, steps=2)
+        b = man.shape_interpolate(0, 1, steps=2)
+        np.testing.assert_array_equal(a, b)
