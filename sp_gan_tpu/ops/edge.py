@@ -49,7 +49,8 @@ def edge_features(
     self-exclusion from the kNN set.
     """
     if idx is None:
-        idx = knn_indices(x, k, exclude_self=True)
+        from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
+        idx = knn_dispatch(x, k)
     nbrs = gather_neighbors(x, idx)                            # [B, N, k, C]
     central = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)   # [B, N, k, C]
     ee = jnp.concatenate([central, nbrs - central], axis=-1)   # [B, N, k, 2C]

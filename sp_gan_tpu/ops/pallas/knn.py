@@ -1,0 +1,90 @@
+"""Fused kNN selection kernel.
+
+For each query tile of TQ points, the kernel computes squared distances to all
+N points of the same cloud — one [TQ, C] x [C, N] MXU matmul plus VPU
+row/col-norm adds — entirely in VMEM, then extracts the k nearest by k rounds
+of (min, argmin, mask). The [B, N, N] distance matrix never touches HBM
+(the XLA path writes it out and reads it back: ~2 x 16MB per cloud at N=2048).
+
+Self-exclusion matches `ops.pairwise.knn_indices`: the diagonal is masked to
++inf, neighbors come out in ascending-distance order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(x_ref, idx_ref, dist_ref, *, k: int, tq: int, n: int):
+    q = pl.program_id(1)
+    queries = x_ref[0, pl.ds(q * tq, tq), :]                # [TQ, C]
+    keys = x_ref[0]                                         # [N, C]
+
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # [TQ, 1]
+    kn = jnp.sum(keys * keys, axis=-1, keepdims=True)        # [N, 1]
+    cross = jax.lax.dot_general(
+        queries, keys,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [TQ, N]
+    dist = qn - 2.0 * cross + kn.T
+
+    # mask self
+    row_ids = q * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    dist = jnp.where(row_ids == col_ids, jnp.inf, dist)
+
+    def body(j, d):
+        m = jnp.min(d, axis=1)                               # [TQ]
+        a = jnp.argmin(d, axis=1).astype(jnp.int32)          # [TQ]
+        idx_ref[0, :, j] = a
+        dist_ref[0, :, j] = m
+        return jnp.where(col_ids == a[:, None], jnp.inf, d)
+
+    lax.fori_loop(0, k, body, dist, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq"))
+def knn_pallas(x: jax.Array, k: int, tq: int = 256):
+    """x: [B, N, C] -> (idx [B, N, k] int32, dist [B, N, k]).
+
+    N must be a multiple of tq (pad upstream if not; the framework's point
+    counts 256..20000 templates satisfy this for tq in {128, 256}).
+    """
+    B, N, C = x.shape
+    if N % tq != 0:
+        for cand in (128, 64, 32, 16, 8, 4, 2, 1):
+            if N % cand == 0:
+                tq = cand
+                break
+    grid = (B, N // tq)
+
+    kernel = functools.partial(_knn_kernel, k=k, tq=tq, n=N)
+    idx, dist = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * N * C, transcendentals=0,
+            bytes_accessed=B * N * C * 4 * (N // tq) + B * N * k * 8),
+    )(x)
+    return idx, dist
