@@ -30,8 +30,16 @@ def knn(x: jax.Array, k: int) -> jax.Array:
 
 
 def chamfer_directed(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(dist1 [B,N], dist2 [B,M]) squared NN distances both ways."""
-    if pallas_enabled():
+    """(dist1 [B,N], dist2 [B,M]) squared NN distances both ways.
+
+    The Pallas kernel avoids materializing [B,N,M] in HBM; measured on
+    TPU v5e it only wins once that matrix is large (dense XLA: 0.028ms,
+    Pallas: 0.049ms at B=24 N=M=2048 — the revisited-output accumulation
+    serializes the grid), so it dispatches on size.
+    """
+    B, N, _ = x.shape
+    M = y.shape[1]
+    if pallas_enabled() and B * N * M > 512 * 1024 * 1024 // 4:
         from sp_gan_tpu.ops.pallas.chamfer import chamfer_pallas
         return chamfer_pallas(x, y)
     import jax.numpy as jnp

@@ -30,20 +30,21 @@ def _chamfer_kernel(x_ref, y_ref, d1_ref, d2_ref, *, tq: int):
         queries, keys,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dist = qn - 2.0 * cross + kn.T                          # [TQ, M]
 
-    d1_ref[0, :] = jnp.min(dist, axis=1)                    # x -> y minima
+    d1_ref[0, :, 0] = jnp.min(dist, axis=1)                 # x -> y minima
 
     col_min = jnp.min(dist, axis=0)                         # [M]
 
     @pl.when(q == 0)
     def _():
-        d2_ref[0, :] = col_min
+        d2_ref[0, :, 0] = col_min
 
     @pl.when(q != 0)
     def _():
-        d2_ref[0, :] = jnp.minimum(d2_ref[0, :], col_min)
+        d2_ref[0, :, 0] = jnp.minimum(d2_ref[0, :, 0], col_min)
 
 
 @functools.partial(jax.jit, static_argnames=("tq",))
@@ -68,17 +69,18 @@ def chamfer_pallas(x: jax.Array, y: jax.Array, tq: int = 256):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tq), lambda b, q: (b, q),
+            # trailing singleton keeps the (sublane, lane) block dims legal
+            pl.BlockSpec((1, tq, 1), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda b, q: (b, 0),
+            pl.BlockSpec((1, M, 1), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * M * C, transcendentals=0,
             bytes_accessed=(B * (N + M) * C * 4) * (N // tq)),
     )(x, y)
-    return d1, d2
+    return d1[..., 0], d2[..., 0]

@@ -32,6 +32,7 @@ def _knn_kernel(x_ref, idx_ref, dist_ref, *, k: int, tq: int, n: int):
         queries, keys,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # bf16 MXU rounding flips near-ties
     )                                                        # [TQ, N]
     dist = qn - 2.0 * cross + kn.T
 
