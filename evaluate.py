@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""CLI: run the reference evaluation protocol (JSD, COV-CD, MMD-CD, 1NN-CD,
+optional EMD variants and FPD) between generated samples and a reference set.
+
+    python evaluate.py --gen samples.npy --ref data/test_chair.npy
+    python evaluate.py --log_dir log/run --n 200 --ref data/test_chair.npy --emd
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--gen", default=None, help=".npy of generated clouds")
+    p.add_argument("--log_dir", default=None, help="generate from checkpoint")
+    p.add_argument("--n", type=int, default=200)
+    p.add_argument("--ref", required=True, help=".npy/.h5 of reference clouds")
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--emd", action="store_true", help="include EMD metrics")
+    p.add_argument("--fpd", action="store_true", help="include FPD (random-"
+                   "feature unless --fpd_stats trained stats are given)")
+    p.add_argument("--fpd_stats", default=None)
+    args = p.parse_args()
+
+    from sp_gan_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    from sp_gan_tpu.eval import compute_all_metrics, FPD
+
+    if args.gen:
+        gen = np.load(args.gen)
+    else:
+        assert args.log_dir, "need --gen or --log_dir"
+        import os
+        from sp_gan_tpu.config import Config
+        from sp_gan_tpu.manipulate import from_checkpoint
+        from sp_gan_tpu.train.checkpoint import latest_checkpoint
+        with open(os.path.join(args.log_dir, "config.json")) as f:
+            cfg = Config.from_json(f.read())
+        man = from_checkpoint(latest_checkpoint(args.log_dir), cfg)
+        gen = man.generate(args.n)
+
+    if args.ref.endswith(".h5"):
+        import h5py
+        with h5py.File(args.ref, "r") as f:
+            key = next(iter(f.keys()))
+            ref = f[key][:]
+    else:
+        ref = np.load(args.ref)
+
+    n = min(len(gen), len(ref))
+    metrics = compute_all_metrics(gen[:n], ref[:n], normalize=args.normalize,
+                                  use_emd=args.emd)
+    if args.fpd:
+        fpd = FPD()
+        metrics["FPD"] = fpd(gen[:n], ref[:n] if not args.fpd_stats else None,
+                             stats_path=args.fpd_stats)
+        if fpd.random_features:
+            metrics["FPD_note"] = "random-feature DGCNN (no trained weights)"
+    print(json.dumps(metrics, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

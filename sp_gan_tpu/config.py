@@ -47,6 +47,8 @@ class Config:
     flip_d: bool = False               # label smoothing+flip for D (loss_utils.py:698-725)
     flip_g: bool = False               # label flip for G
     lambda_gp: float = 10.0            # gradient-penalty weight (used when gan='wgan')
+    mix: bool = False                  # CutMix regularization for D (loss_utils.py:1025-1075)
+    mix_emd_iters: int = 50            # auction iters for CutMix alignment
 
     # --- optimization (reference: config.py:57-60, model.py:94-110) ---
     lr_g: float = 1e-4

@@ -2,5 +2,7 @@
 
 from sp_gan_tpu.losses.gan import gen_loss, dis_loss, mix_loss
 from sp_gan_tpu.losses.gp import r1_penalty, wgan_gp
+from sp_gan_tpu.losses.cutmix import cutmix
 
-__all__ = ["gen_loss", "dis_loss", "mix_loss", "r1_penalty", "wgan_gp"]
+__all__ = ["gen_loss", "dis_loss", "mix_loss", "r1_penalty", "wgan_gp",
+           "cutmix"]

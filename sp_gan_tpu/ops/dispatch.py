@@ -20,13 +20,34 @@ def pallas_enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def knn(x: jax.Array, k: int) -> jax.Array:
-    """Self-kNN indices [B,N,k] (self excluded), fastest available impl."""
+    """Self-kNN indices [B,N,k] (self excluded), fastest available impl.
+
+    Wrapped in a zero-gradient custom VJP: neighbor *selection* is piecewise
+    constant (the reference likewise treats indices as data), and the wrapper
+    keeps autodiff from trying to trace through the Pallas kernel.
+    """
     if pallas_enabled():
         from sp_gan_tpu.ops.pallas.knn import knn_pallas
         return knn_pallas(x, k)[0]
     from sp_gan_tpu.ops.pairwise import knn_indices
     return knn_indices(x, k, exclude_self=True)
+
+
+def _knn_fwd(x, k):
+    return knn(x, k), x
+
+
+def _knn_bwd(k, x, g):
+    import jax.numpy as jnp
+    return (jnp.zeros_like(x),)
+
+
+knn.defvjp(_knn_fwd, _knn_bwd)
 
 
 def chamfer_directed(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:

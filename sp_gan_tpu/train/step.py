@@ -78,10 +78,21 @@ def make_train_step(
             logit_fake, mut2 = d_forward(d_params, mut1["batch_stats"], fake)
             loss, info = dis_loss(logit_real, logit_fake, gan=cfg.gan,
                                   noise_label=cfg.flip_d, rng=k_nd)
+            d_stats_out = mut2["batch_stats"]
             if use_gp:
                 d_only = lambda pts: d_forward(d_params, state.d_stats, pts)[0]
                 loss = loss + wgan_gp(d_only, real, fake, k_gp, cfg.lambda_gp)
-            return loss, (mut2["batch_stats"], info)
+            if cfg.mix:
+                # CutMix regularization (reference --mix intent): EMD-aligned
+                # real/fake splices labeled fake.
+                from sp_gan_tpu.losses import cutmix, mix_loss
+                mixed, _, _ = cutmix(k_gp, real, fake,
+                                     emd_iters=cfg.mix_emd_iters)
+                logit_mix, mut3 = d_forward(d_params, d_stats_out, mixed)
+                m_loss, _ = mix_loss(logit_mix, gan=cfg.gan)
+                loss = loss + m_loss
+                d_stats_out = mut3["batch_stats"]
+            return loss, (d_stats_out, info)
 
         (d_loss_val, (d_stats, d_info)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)

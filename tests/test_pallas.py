@@ -42,7 +42,7 @@ class TestChamferPallas:
         from sp_gan_tpu.ops.pallas.chamfer import chamfer_pallas
         x = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
         y = jnp.array(rng.standard_normal((2, 96, 3)).astype(np.float32))
-        d1, d2 = run_interpret(chamfer_pallas, x, y, tq=32)
+        d1, d2 = run_interpret(chamfer_pallas, x, y)
         d = pairwise_sqdist(x, y)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(jnp.min(d, -1)),
                                    atol=1e-4)
@@ -50,8 +50,54 @@ class TestChamferPallas:
                                    atol=1e-4)
 
     def test_asymmetric_sizes(self, rng):
-        from sp_gan_tpu.ops.pallas.chamfer import chamfer_pallas
+        from sp_gan_tpu.ops.pallas.chamfer import _chamfer_pallas_raw
         x = jnp.array(rng.standard_normal((1, 32, 3)).astype(np.float32))
         y = jnp.array(rng.standard_normal((1, 128, 3)).astype(np.float32))
-        d1, d2 = run_interpret(chamfer_pallas, x, y, tq=16)
+        d1, i1, d2, i2 = run_interpret(_chamfer_pallas_raw, x, y, tq=16)
         assert d1.shape == (1, 32) and d2.shape == (1, 128)
+
+    def test_argmins_match_xla(self, rng):
+        from sp_gan_tpu.ops.pallas.chamfer import _chamfer_pallas_raw
+        x = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        y = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        _, i1, _, i2 = run_interpret(_chamfer_pallas_raw, x, y, tq=32)
+        d = pairwise_sqdist(x, y)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(jnp.argmin(d, -1)))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(jnp.argmin(d, -2)))
+
+    def test_gradient_matches_xla(self, rng):
+        from sp_gan_tpu.ops.pallas.chamfer import chamfer_pallas
+        x = jnp.array(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        y = jnp.array(rng.standard_normal((2, 48, 3)).astype(np.float32))
+
+        def loss_pallas(a, b):
+            d1, d2 = chamfer_pallas(a, b)
+            return d1.mean() + d2.mean()
+
+        def loss_xla(a, b):
+            d = pairwise_sqdist(a, b)
+            return jnp.min(d, -1).mean() + jnp.min(d, -2).mean()
+
+        gx_p, gy_p = run_interpret(jax.grad(loss_pallas, argnums=(0, 1)), x, y)
+        gx_x, gy_x = jax.grad(loss_xla, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_x), atol=1e-5)
+
+
+class TestKnnGrad:
+    def test_edge_features_grad_with_pallas_dispatch(self, rng, monkeypatch):
+        """jax.grad through edge_features when the dispatcher picks Pallas
+        (the G fwd+bwd path that must not trace into the kernel)."""
+        import sp_gan_tpu.ops.dispatch as dispatch
+        monkeypatch.setattr(dispatch, "pallas_enabled", lambda: True)
+        from sp_gan_tpu.ops import edge_features
+        x = jnp.array(rng.standard_normal((1, 64, 3)).astype(np.float32))
+
+        def loss(v):
+            with pltpu.force_tpu_interpret_mode():
+                ee = edge_features(v, 4)
+            return jnp.sum(ee ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.asarray(g) != 0)
