@@ -14,11 +14,12 @@ taking `jax.grad` w.r.t. exactly the right parameter subtree.
 
 Data parallelism: call via jit with the batch sharded over the mesh's `data`
 axis and the state replicated — XLA GSPMD inserts the gradient all-reduces
-(the TPU equivalent of DataParallel, SURVEY.md §2.4). BatchNorm then computes
-*per-shard* statistics, exactly like the reference under DataParallel (its
-sync_bn exists but is unwired — SURVEY.md §2.4); flip `sync_norm=True` in
-`make_train_step` to psum-average the stats over shards instead (what sync_bn
-would have done).
+(the TPU equivalent of DataParallel, SURVEY.md §2.4). Because GSPMD keeps
+full-array semantics, BatchNorm's batch statistics are *global* across
+shards automatically — i.e. the synchronized-BN behavior the reference's
+vendored-but-unwired sync_bn was for (SURVEY.md §2.4 row 2), obtained for
+free; the reference's live DataParallel computed per-replica stats instead
+(an eval-time-only difference).
 """
 
 from __future__ import annotations
