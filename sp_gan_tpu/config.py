@@ -74,6 +74,7 @@ class Config:
 
     # --- TPU-native knobs (no reference equivalent) ---
     dtype: str = "float32"             # compute dtype for model math ("bfloat16" for perf)
+    remat: bool = False                # rematerialize EdgeBlocks in the backward
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)
     use_pallas: bool = True            # fused Pallas kernels where available

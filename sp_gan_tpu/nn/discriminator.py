@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sp_gan_tpu.config import Config
-from sp_gan_tpu.nn.layers import TorchDense
+from sp_gan_tpu.nn.layers import SPBatchNorm, TorchDense
 
 NEG = 0.01  # reference `neg` (Discriminator.py:19)
 
@@ -23,20 +23,20 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        """x: [B, N, 3] -> logits [B, 1]."""
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+        """x: [B, N, 3] -> logits [B, 1] (always float32)."""
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        bn = lambda name, v: SPBatchNorm(name=name)(v, train=train)
 
-        h = x
+        h = x.astype(dtype)
         for i, width in enumerate((64, 128, 256)):
             h = TorchDense(width, name=f"mlp{i + 1}")(h)
-            h = nn.leaky_relu(bn(f"bn{i + 1}")(h), NEG)
+            h = nn.leaky_relu(bn(f"bn{i + 1}", h), NEG)
 
         dim = 1024 // (2 if self.cfg.small_d else 1)
         h = TorchDense(dim, name="fc2")(h)
-        h = nn.leaky_relu(bn("bn_fc2")(h), NEG)
+        h = nn.leaky_relu(bn("bn_fc2", h), NEG)
 
-        h = jnp.max(h, axis=1)                         # adaptive max pool
+        h = jnp.max(h, axis=1).astype(jnp.float32)     # adaptive max pool
 
         for i, width in enumerate((512, 256, 64)):
             h = nn.leaky_relu(TorchDense(width, name=f"head{i + 1}")(h), NEG)

@@ -51,9 +51,13 @@ class Generator(nn.Module):
         Dense = make_dense(cfg.eql)
         dim = 128
         k = cfg.nk // 2
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
         if cfg.z_norm:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+        x = x.astype(dtype)
+        z = z.astype(dtype)
 
         # --- style head ---
         style = jnp.concatenate([x, z], axis=-1)
@@ -69,25 +73,23 @@ class Generator(nn.Module):
         else:
             c1_in, c1_out = 3, 64
 
-        x1 = EdgeBlock(c1_in, c1_out, k, name="edge1")(pc, train=train)
+        EB = nn.remat(EdgeBlock, static_argnums=(2,)) if cfg.remat else EdgeBlock
+        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train)
         x1 = nn.leaky_relu(x1, NEG2)
         x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
 
-        x2 = EdgeBlock(c1_out, dim, k, name="edge2")(x1, train=train)
+        x2 = EB(c1_out, dim, k, name="edge2")(x1, train)
         x2 = nn.leaky_relu(x2, NEG2)
         x2 = AdaptivePointNorm(dim, name="adain2")(x2, style)
 
         # --- global branch ---
+        from sp_gan_tpu.nn.layers import SPBatchNorm
         feat_global = jnp.max(x2, axis=1)                       # [B, dim]
         feat_global = Dense(dim, name="global1")(feat_global)
-        feat_global = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="global_bn1")(feat_global)
+        feat_global = SPBatchNorm(name="global_bn1")(feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = Dense(512, name="global2")(feat_global)
-        feat_global = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="global_bn2")(feat_global)
+        feat_global = SPBatchNorm(name="global_bn2")(feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = jnp.broadcast_to(feat_global[:, None, :], (B, N, 512))
 
@@ -103,7 +105,7 @@ class Generator(nn.Module):
 
         if cfg.off:
             out = out + pc
-        return out
+        return out.astype(jnp.float32)
 
     def interpolate(self, x, z1, z2, selection, alpha, use_latent: bool = False,
                     train: bool = False):

@@ -86,10 +86,53 @@ def make_dense(eql: bool) -> Callable[..., nn.Module]:
 def instance_norm_points(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm1d (no affine) on [B, N, C]: normalize each channel over
     the point axis per sample — matches torch `nn.InstanceNorm1d` on [B, C, N]
-    (biased variance, eps inside the sqrt)."""
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.var(x, axis=1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    (biased variance, eps inside the sqrt). Statistics accumulate in f32 even
+    under bf16 compute."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.var(xf, axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return ((xf - mean) * inv).astype(x.dtype)
+
+
+class SPBatchNorm(nn.Module):
+    """BatchNorm with f32 statistics under any compute dtype.
+
+    Drop-in for flax `nn.BatchNorm` on channel-last inputs (same param /
+    batch_stats naming: scale, bias / mean, var), normalizing over all axes
+    but the last. Statistics and the running averages stay float32 so bf16
+    activations don't destroy the moments of the big [B, N, k, C] edge
+    tensors; the scale/shift applies in the input dtype. Matches torch
+    BatchNorm{1,2}d train/eval numerics (biased batch variance, eps in sqrt).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (C,))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(xf * xf, axis=axes) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value \
+                    + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value \
+                    + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
 
 
 class AdaptivePointNorm(nn.Module):
@@ -140,20 +183,19 @@ class EdgeBlock(nn.Module):
         diff = ee[..., C:]
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=self.norm_momentum,
-            epsilon=1e-5, name=name)
+        bn = lambda name, v: SPBatchNorm(
+            momentum=self.norm_momentum, name=name)(v, train=train)
 
         # attention branch (conv_w)
         w = TorchDense(self.fout // 2, name="conv_w1")(diff)
-        w = lrelu(bn("bn_w1")(w))
+        w = lrelu(bn("bn_w1", w))
         w = TorchDense(self.fout, name="conv_w2")(w)
-        w = lrelu(bn("bn_w2")(w))
+        w = lrelu(bn("bn_w2", w))
         w = jax.nn.softmax(w, axis=2)                        # softmax over k
 
         # value branch (conv_x)
         v = TorchDense(self.fout, name="conv_x")(ee)
-        v = lrelu(bn("bn_x")(v))
+        v = lrelu(bn("bn_x", v))
         v = v * w
 
         # conv_out: Conv2d [1,k] kernel == contraction over (k, Fout)
