@@ -94,3 +94,32 @@ class TestPenalties:
         gp = wgan_gp(self._quad_d, jnp.zeros((2, 4, 3)),
                      jnp.ones((2, 4, 3)), jax.random.PRNGKey(1))
         assert float(gp) > 0
+
+
+class TestShapePreserving:
+    def test_identical_clouds_near_zero(self):
+        import numpy as np
+        from sp_gan_tpu.losses import shape_preserving_loss
+        rng = np.random.default_rng(0)
+        x = jnp.array(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        mu, var = shape_preserving_loss(x, x, k=4)
+        assert float(mu) == pytest.approx(0.0, abs=1e-5)
+        assert float(var) == pytest.approx(0.0, abs=1e-5)
+
+    def test_differs_for_different_clouds(self):
+        import numpy as np
+        from sp_gan_tpu.losses import shape_preserving_loss
+        rng = np.random.default_rng(0)
+        x = jnp.array(rng.standard_normal((1, 32, 3)).astype(np.float32))
+        y = jnp.array(rng.standard_normal((1, 32, 3)).astype(np.float32))
+        mu, var = shape_preserving_loss(x, y, k=4)
+        assert float(mu) > 0
+
+    def test_differentiable(self):
+        import numpy as np
+        from sp_gan_tpu.losses import shape_preserving_loss
+        rng = np.random.default_rng(0)
+        x = jnp.array(rng.standard_normal((1, 16, 3)).astype(np.float32))
+        y = jnp.array(rng.standard_normal((1, 16, 3)).astype(np.float32))
+        g = jax.grad(lambda a: sum(shape_preserving_loss(a, y, k=4)))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
