@@ -54,6 +54,26 @@ def main():
     steps_per_sec = iters / dt
     points_per_sec = steps_per_sec * BS * N
 
+    # secondary: CD / EMD evaluation throughput (BASELINE.json metric names)
+    from sp_gan_tpu.eval.metrics import pairwise_cd_matrix
+    from sp_gan_tpu.ops.emd import emd_auction
+    gen = batch[:16]
+    cd_fn = jax.jit(lambda a, b: pairwise_cd_matrix(a, b))
+    cd_fn(gen, gen).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = cd_fn(gen, gen)
+    jax.block_until_ready(r)
+    cd_evals_per_sec = 5 * gen.shape[0] * gen.shape[0] / (time.perf_counter() - t0)
+
+    emd_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.005, 50)[0])
+    emd_fn(gen, gen).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = emd_fn(gen, gen)
+    jax.block_until_ready(r)
+    emd_evals_per_sec = 3 * gen.shape[0] / (time.perf_counter() - t0)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
@@ -67,6 +87,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs, 3),
         "points_per_sec": round(points_per_sec),
+        "cd_evals_per_sec": round(cd_evals_per_sec, 1),
+        "emd_evals_per_sec": round(emd_evals_per_sec, 1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -57,10 +57,23 @@ def _gather_bwd(res, g):
     B, N, C = x.shape
     k = idx.shape[-1]
     flat = idx.reshape(B, N * k)
-    # one-hot entries are exact in bf16; accumulation stays f32 on the MXU
-    onehot = jax.nn.one_hot(flat, N, dtype=g.dtype, axis=-1)   # [B, Nk, N]
-    dx = jnp.einsum("bsn,bsc->bnc", onehot, g.reshape(B, N * k, C))
-    return dx, None
+    gf = g.reshape(B, N * k, C)
+    # one-hot entries are exact in bf16; accumulation stays f32 on the MXU.
+    if B * N * k * N * g.dtype.itemsize <= (1 << 30):
+        onehot = jax.nn.one_hot(flat, N, dtype=g.dtype, axis=-1)  # [B,Nk,N]
+        return jnp.einsum("bsn,bsc->bnc", onehot, gf), None
+    # large case: tile the target axis so the one-hot never exceeds ~256MB
+    T = 256
+    while N % T:
+        T //= 2
+
+    def chunk(t0):
+        cols = t0 + jnp.arange(T)
+        oh = (flat[..., None] == cols[None, None, :]).astype(g.dtype)
+        return jnp.einsum("bst,bsc->btc", oh, gf)      # [B, T, C]
+
+    parts = jax.lax.map(chunk, jnp.arange(0, N, T))    # [N/T, B, T, C]
+    return parts.transpose(1, 0, 2, 3).reshape(B, N, C), None
 
 
 gather_neighbors.defvjp(_gather_fwd, _gather_bwd)

@@ -61,6 +61,8 @@ def _chamfer_kernel(x_ref, y_ref, d1_ref, i1_ref, d2_ref, i2_ref, *, tq: int):
 
 @functools.partial(jax.jit, static_argnames=("tq",))
 def _chamfer_pallas_raw(x: jax.Array, y: jax.Array, tq: int = 256):
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     B, N, C = x.shape
     M = y.shape[1]
     if N % tq != 0:

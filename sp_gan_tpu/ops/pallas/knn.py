@@ -58,6 +58,9 @@ def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     N must be a multiple of tq (pad upstream if not; the framework's point
     counts 256..20000 templates satisfy this for tq in {128, 256}).
     """
+    # distances always in f32: bf16 inputs both lose selection accuracy and
+    # can't drive an fp32-precision MXU contraction in Mosaic
+    x = x.astype(jnp.float32)
     B, N, C = x.shape
     if N % tq != 0:
         for cand in (128, 64, 32, 16, 8, 4, 2, 1):
