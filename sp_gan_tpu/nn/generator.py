@@ -44,8 +44,12 @@ class Generator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, x, z, train: bool = True):
-        """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3]."""
+    def __call__(self, x, z, train: bool = True, edge1_idx=None):
+        """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3].
+
+        edge1_idx: optional precomputed kNN indices [B, N, k] for the first
+        EdgeConv (valid when x is the static sphere template and use_head is
+        off — the training-loop case, reference model.py:231)."""
         cfg = self.cfg
         B, N, _ = x.shape
         Dense = make_dense(cfg.eql)
@@ -74,7 +78,9 @@ class Generator(nn.Module):
             c1_in, c1_out = 3, 64
 
         EB = nn.remat(EdgeBlock, static_argnums=(2,)) if cfg.remat else EdgeBlock
-        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train)
+        if cfg.use_head:
+            edge1_idx = None  # pc is a learned lift, not the template
+        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx)
         x1 = nn.leaky_relu(x1, NEG2)
         x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
 

@@ -176,10 +176,14 @@ class EdgeBlock(nn.Module):
     negative_slope: float = 0.01
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, idx=None):
+        """`idx` [B,N,k] optionally supplies precomputed kNN indices — used
+        for the generator's first EdgeConv, whose input is the *static*
+        sphere template (reference recomputes that kNN every forward;
+        the graph of a constant is constant)."""
         B, N, C = x.shape
         assert C == self.fin
-        ee = edge_features(x, self.k)                        # [B, N, k, 2C]
+        ee = edge_features(x, self.k, idx=idx)               # [B, N, k, 2C]
         diff = ee[..., C:]
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)

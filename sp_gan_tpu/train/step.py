@@ -54,9 +54,20 @@ def make_train_step(
     """
     use_gp = cfg.gan == "wgan" and cfg.lambda_gp > 0
 
+    # The sphere template is static for the whole run, so EdgeConv1's kNN
+    # graph is a constant — computed once here, not once per forward
+    # (the reference recomputes it every G call, modules.py:694-703).
+    from sp_gan_tpu.ops.pairwise import knn_indices
+    template_idx = jax.device_get(
+        knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
+    template_idx = jnp.asarray(template_idx)                  # [N, k]
+
     def g_forward(g_params, g_stats, x, z):
+        B = x.shape[0]
+        idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
         return G.apply({"params": g_params, "batch_stats": g_stats},
-                       x, z, train=True, mutable=["batch_stats"])
+                       x, z, train=True, edge1_idx=idx,
+                       mutable=["batch_stats"])
 
     def d_forward(d_params, d_stats, pts):
         return D.apply({"params": d_params, "batch_stats": d_stats},
@@ -153,13 +164,19 @@ def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
     """Jitted sampler: (state, z [B,N,nz]) -> clouds [B,N,3] (eval mode —
     BatchNorm running averages, the reference's `draw_sample` path)."""
 
+    from sp_gan_tpu.ops.pairwise import knn_indices
+    template_idx = jax.device_get(
+        knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
+    template_idx = jnp.asarray(template_idx)
+
     @jax.jit
     def sample(state: TrainState, z: jax.Array):
         B = z.shape[0]
         x = jnp.broadcast_to(sphere[None], (B,) + sphere.shape)
+        idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
         params = state.g_ema if (use_ema and state.g_ema is not None) \
             else state.g_params
         return G.apply({"params": params, "batch_stats": state.g_stats},
-                       x, z, train=False)
+                       x, z, train=False, edge1_idx=idx)
 
     return sample
