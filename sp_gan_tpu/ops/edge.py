@@ -58,7 +58,11 @@ def _gather_bwd(res, g):
     k = idx.shape[-1]
     flat = idx.reshape(B, N * k)
     gf = g.reshape(B, N * k, C)
-    # one-hot entries are exact in bf16; accumulation stays f32 on the MXU.
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
+    if pallas_enabled():
+        from sp_gan_tpu.ops.pallas.scatter import scatter_add_pallas
+        return scatter_add_pallas(gf, flat, N).astype(x.dtype), None
+    # XLA fallback: one-hot contraction (exact in bf16; f32 accumulation)
     if B * N * k * N * g.dtype.itemsize <= (1 << 30):
         onehot = jax.nn.one_hot(flat, N, dtype=g.dtype, axis=-1)  # [B,Nk,N]
         return jnp.einsum("bsn,bsc->bnc", onehot, gf), None

@@ -84,6 +84,34 @@ class TestChamferPallas:
         np.testing.assert_allclose(np.asarray(gy_p), np.asarray(gy_x), atol=1e-5)
 
 
+class TestScatterPallas:
+    def test_matches_onehot(self, rng):
+        from sp_gan_tpu.ops.pallas.scatter import scatter_add_pallas
+        B, S, F, N = 2, 96, 8, 64
+        g = jnp.array(rng.standard_normal((B, S, F)).astype(np.float32))
+        idx = jnp.array(rng.integers(0, N, (B, S)).astype(np.int32))
+        out = run_interpret(scatter_add_pallas, g, idx, N, t_tile=32,
+                            s_tile=32)
+        oracle = np.zeros((B, N, F), np.float32)
+        for b in range(B):
+            for s in range(S):
+                oracle[b, idx[b, s]] += np.asarray(g)[b, s]
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+    def test_uneven_tiles(self, rng):
+        from sp_gan_tpu.ops.pallas.scatter import scatter_add_pallas
+        B, S, F, N = 1, 48, 4, 24
+        g = jnp.array(rng.standard_normal((B, S, F)).astype(np.float32))
+        idx = jnp.array(rng.integers(0, N, (B, S)).astype(np.int32))
+        out = run_interpret(scatter_add_pallas, g, idx, N, t_tile=256,
+                            s_tile=2048)  # forces the divisor fallback
+        oracle = np.zeros((B, N, F), np.float32)
+        for b in range(B):
+            for s in range(S):
+                oracle[b, idx[b, s]] += np.asarray(g)[b, s]
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+
 class TestKnnGrad:
     def test_edge_features_grad_with_pallas_dispatch(self, rng, monkeypatch):
         """jax.grad through edge_features when the dispatcher picks Pallas
@@ -94,10 +122,10 @@ class TestKnnGrad:
         x = jnp.array(rng.standard_normal((1, 64, 3)).astype(np.float32))
 
         def loss(v):
-            with pltpu.force_tpu_interpret_mode():
-                ee = edge_features(v, 4)
+            ee = edge_features(v, 4)
             return jnp.sum(ee ** 2)
 
-        g = jax.grad(loss)(x)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(x)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
