@@ -65,14 +65,11 @@ def _bn(sd: Dict, prefix: str) -> Tuple[Dict[str, Arr], Dict[str, Arr]]:
 
 def _edge_block(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
     params, stats = {}, {}
-    d = _dense(sd, f"{prefix}.conv_w.0")
-    params["w1_kernel"], params["w1_bias"] = d["kernel"], d["bias"]
+    params["conv_w1"] = _dense(sd, f"{prefix}.conv_w.0")
     params["bn_w1"], stats["bn_w1"] = _bn(sd, f"{prefix}.conv_w.1")
-    d = _dense(sd, f"{prefix}.conv_w.3")
-    params["w2_kernel"], params["w2_bias"] = d["kernel"], d["bias"]
+    params["conv_w2"] = _dense(sd, f"{prefix}.conv_w.3")
     params["bn_w2"], stats["bn_w2"] = _bn(sd, f"{prefix}.conv_w.4")
-    d = _dense(sd, f"{prefix}.conv_x.0")
-    params["x_kernel"], params["x_bias"] = d["kernel"], d["bias"]
+    params["conv_x"] = _dense(sd, f"{prefix}.conv_x.0")
     params["bn_x"], stats["bn_x"] = _bn(sd, f"{prefix}.conv_x.1")
     w = _np(sd[f"{prefix}.conv_out.weight"])        # [out, in, 1, k]
     params["out_kernel"] = w[:, :, 0, :].transpose(2, 1, 0).copy()  # [k,in,out]

@@ -162,20 +162,11 @@ class AdaptivePointNorm(nn.Module):
 class EdgeBlock(nn.Module):
     """Attention-weighted EdgeConv (`Generator.py:47-88`), [B,N,Fin] -> [B,N,Fout].
 
-    Reference formulation: build edge features [B,N,k,2Fin] =
-    [central, nbr-central], then
+    Edge features [B,N,k,2Fin] -> two branches:
       conv_w on the (nbr-central) half -> per-neighbor softmax weights,
       conv_x on the full edge feature -> values,
-    product, then a (k*Fout -> Fout) contraction (Conv2d [1,k] kernel).
-
-    TPU reformulation (numerically identical by linearity): the 1x1 convs are
-    applied to the *points* first and gathered after —
-      conv_w1(nbr-central)           == gather(W1 x) - (W1 x) + b1
-      conv_x([central, nbr-central]) == ((Wc - Wd) x + b) + gather(Wd x)
-    so the dense layers run on N rows instead of N*k edge rows (k x fewer
-    MXU flops) and the [B,N,k,2Fin] edge tensor is never materialized.
-    Parameter shapes/layout are unchanged w.r.t. the reference
-    (`compat/torch_import._edge_block` maps onto them 1:1).
+    elementwise product, then a (k*Fout -> Fout) contraction collapsing the
+    neighbor axis (the reference's Conv2d with [1, k] kernel).
     """
 
     fin: int
@@ -190,52 +181,40 @@ class EdgeBlock(nn.Module):
         for the generator's first EdgeConv, whose input is the *static*
         sphere template (reference recomputes that kNN every forward;
         the graph of a constant is constant)."""
-        from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
-        from sp_gan_tpu.ops.edge import gather_neighbors
-
         B, N, C = x.shape
         assert C == self.fin
-        if idx is None:
-            idx = knn_dispatch(x, self.k)
+        ee = edge_features(x, self.k, idx=idx)               # [B, N, k, 2C]
+        diff = ee[..., C:]
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
         bn = lambda name, v: SPBatchNorm(
             momentum=self.norm_momentum, name=name)(v, train=train)
 
-        def torch_param(name, shape, fan_in):
-            bound = 1.0 / math.sqrt(fan_in)
-            return self.param(
-                name,
-                lambda key, s: jax.random.uniform(key, s, jnp.float32,
-                                                  -bound, bound), shape)
-
-        F, F2, k = self.fout, self.fout // 2, self.k
-
-        # attention branch (conv_w): transform points, difference via gather
-        w1_k = torch_param("w1_kernel", (C, F2), C).astype(x.dtype)
-        w1_b = torch_param("w1_bias", (F2,), C).astype(x.dtype)
-        h1 = jnp.matmul(x, w1_k)                              # [B,N,F2]
-        w = gather_neighbors(h1, idx) - h1[:, :, None, :] + w1_b
+        # attention branch (conv_w)
+        w = TorchDense(self.fout // 2, name="conv_w1")(diff)
         w = lrelu(bn("bn_w1", w))
-        w2_k = torch_param("w2_kernel", (F2, F), F2).astype(x.dtype)
-        w2_b = torch_param("w2_bias", (F,), F2).astype(x.dtype)
-        w = jnp.matmul(w, w2_k) + w2_b
+        w = TorchDense(self.fout, name="conv_w2")(w)
         w = lrelu(bn("bn_w2", w))
-        w = jax.nn.softmax(w, axis=2)                         # softmax over k
+        w = jax.nn.softmax(w, axis=2)                        # softmax over k
 
-        # value branch (conv_x): kernel [2C, F] split into central/diff parts
-        x_k = torch_param("x_kernel", (2 * C, F), 2 * C).astype(x.dtype)
-        x_b = torch_param("x_bias", (F,), 2 * C).astype(x.dtype)
-        wc, wd = x_k[:C], x_k[C:]
-        a = jnp.matmul(x, wc - wd) + x_b                      # central part
-        v = gather_neighbors(jnp.matmul(x, wd), idx)          # neighbor part
-        v = a[:, :, None, :] + v                              # [B,N,k,F]
+        # value branch (conv_x)
+        v = TorchDense(self.fout, name="conv_x")(ee)
         v = lrelu(bn("bn_x", v))
         v = v * w
 
         # conv_out: Conv2d [1,k] kernel == contraction over (k, Fout)
-        kernel = torch_param("out_kernel", (k, F, F), k * F)
-        out_bias = torch_param("out_bias", (F,), k * F)
+        fan_in = self.k * self.fout
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param(
+            "out_kernel",
+            lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
+            (self.k, self.fout, self.fout),
+        )
+        out_bias = self.param(
+            "out_bias",
+            lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
+            (self.fout,),
+        )
         out = jnp.einsum("bnkc,kco->bno", v, kernel.astype(v.dtype))
         return out + out_bias.astype(out.dtype)
 
