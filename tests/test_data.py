@@ -156,3 +156,39 @@ class TestNoise:
         assert z.shape == (1, 32, 8)
         np.testing.assert_array_equal(z[0, 0], z[0, 15])
         assert not np.array_equal(z[0, 0], z[0, 16])
+
+
+class TestExtraAugment:
+    def test_jitter_bounded(self, rng):
+        from sp_gan_tpu.data.augment import jitter_batch
+        pc = jnp.array(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        out = jitter_batch(jax.random.PRNGKey(0), pc, sigma=0.01, clip=0.02)
+        assert np.abs(np.asarray(out - pc)).max() <= 0.02 + 1e-6
+
+    def test_translate_per_cloud(self, rng):
+        from sp_gan_tpu.data.augment import translate_batch
+        pc = jnp.array(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        out = translate_batch(jax.random.PRNGKey(1), pc, 0.1)
+        d = np.asarray(out - pc)
+        # constant shift per cloud
+        np.testing.assert_allclose(d, d[:, :1, :], atol=1e-5)
+        assert np.abs(d).max() <= 0.1
+
+    def test_rotate_perturbation_preserves_norms(self, rng):
+        from sp_gan_tpu.data.augment import rotate_perturbation_batch
+        pc = jnp.array(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        out = rotate_perturbation_batch(jax.random.PRNGKey(2), pc)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                                   np.linalg.norm(np.asarray(pc), axis=-1),
+                                   atol=1e-4)
+
+    def test_dropout_replaces_with_first(self, rng):
+        from sp_gan_tpu.data.augment import random_point_dropout
+        pc = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        out = np.asarray(random_point_dropout(jax.random.PRNGKey(3), pc))
+        pcn = np.asarray(pc)
+        for b in range(2):
+            for n in range(64):
+                ok = np.allclose(out[b, n], pcn[b, n]) or \
+                    np.allclose(out[b, n], pcn[b, 0])
+                assert ok
