@@ -171,7 +171,7 @@ class TestExtraAugment:
         out = translate_batch(jax.random.PRNGKey(1), pc, 0.1)
         d = np.asarray(out - pc)
         # constant shift per cloud
-        np.testing.assert_allclose(d, d[:, :1, :], atol=1e-5)
+        np.testing.assert_allclose(d, np.broadcast_to(d[:, :1, :], d.shape), atol=1e-5)
         assert np.abs(d).max() <= 0.1
 
     def test_rotate_perturbation_preserves_norms(self, rng):
