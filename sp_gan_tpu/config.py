@@ -78,6 +78,9 @@ class Config:
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)
     use_pallas: bool = True            # fused Pallas kernels where available
+    nan_guard: bool = False            # skip optimizer updates on non-finite grads
+                                       # (reference's unused _check_grad_ok,
+                                       # Common/network_utils.py:58-69, made live)
     donate_state: bool = True          # donate train-state buffers to the jitted step
     log_every: int = 10                # steps between metric log lines
     steps_per_epoch: Optional[int] = None  # override (for synthetic data / benchmarks)

@@ -43,10 +43,14 @@ def _auction_single(d: jax.Array, eps: float, iters: int) -> jax.Array:
         unassigned = assignment < 0                                   # [N]
 
         value = -d - price[None, :]                                   # [N, M]
-        # best and second-best item per point
-        top2_val, top2_idx = lax.top_k(value, 2)
-        best_idx = top2_idx[:, 0].astype(jnp.int32)                   # [N]
-        bid_inc = top2_val[:, 0] - top2_val[:, 1] + eps               # [N]
+        # best and second-best item per point — explicit max passes instead
+        # of lax.top_k (which lowers to a sort on TPU and dominates runtime)
+        best_val = jnp.max(value, axis=1)
+        best_idx = jnp.argmax(value, axis=1).astype(jnp.int32)        # [N]
+        masked = jnp.where(arange_m[None, :] == best_idx[:, None],
+                           -jnp.inf, value)
+        second_val = jnp.max(masked, axis=1)
+        bid_inc = best_val - second_val + eps                         # [N]
 
         # Items accept the single highest bid among unassigned bidders.
         # Each point bids on exactly one item, so winners are unique per item.

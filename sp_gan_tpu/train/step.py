@@ -106,10 +106,24 @@ def make_train_step(
                 d_stats_out = mut3["batch_stats"]
             return loss, (d_stats_out, info)
 
+        def guarded_update(tx, grads, opt_state, params):
+            """Optionally skip the whole update when any grad is non-finite
+            (cfg.nan_guard): params/opt state pass through unchanged."""
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if not cfg.nan_guard:
+                return new_params, new_opt
+            finite = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+            ]))
+            pick = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+            return pick(new_params, params), pick(new_opt, opt_state)
+
         (d_loss_val, (d_stats, d_info)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params, d_opt = guarded_update(d_tx, d_grads, state.d_opt,
+                                         state.d_params)
 
         # ---------------- G step (against updated D) ----------------
         z_g = sample_z(k_zg, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
@@ -128,8 +142,8 @@ def make_train_step(
 
         (g_loss_val, (g_stats, d_stats)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
-        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
+        g_params, g_opt = guarded_update(g_tx, g_grads, state.g_opt,
+                                         state.g_params)
 
         g_ema = state.g_ema
         if g_ema is not None:

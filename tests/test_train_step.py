@@ -172,3 +172,24 @@ class TestDataParallel:
         # same init seed -> identical params; same z draw; only BN sharding
         # differs. Losses should be in the same ballpark.
         assert abs(float(m1["d_loss"]) - float(m8["d_loss"])) < 0.5
+
+
+class TestNanGuard:
+    def test_nonfinite_grads_skip_update(self, real_batch):
+        """With nan_guard, poisoned input producing non-finite grads must
+        leave params unchanged rather than propagate NaNs."""
+        cfg = tiny_cfg(nan_guard=True)
+        state, G, D, step, sphere = build(cfg)
+        bad = real_batch.at[0, 0, 0].set(jnp.nan)
+        new_state, metrics = step(state, bad)
+        # D saw NaN real data -> non-finite d grads -> D params unchanged
+        for a, b in zip(jax.tree_util.tree_leaves(state.d_params),
+                        jax.tree_util.tree_leaves(new_state.d_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_clean_input_still_updates(self, real_batch):
+        cfg = tiny_cfg(nan_guard=True)
+        state, G, D, step, sphere = build(cfg)
+        new_state, _ = step(state, real_batch)
+        assert leaves_differ(state.d_params, new_state.d_params)
+        assert leaves_differ(state.g_params, new_state.g_params)
