@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""On-device (TPU) correctness check for the Pallas kernels vs XLA twins.
+
+The pytest suite runs the same comparisons in interpret mode on CPU; this
+script runs them *compiled* on the real chip (catching Mosaic lowering
+divergences like the bf16-precision issue found in round 1). Run:
+
+    python scripts/check_tpu_kernels.py
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sp_gan_tpu.utils import enable_compile_cache
+
+
+def main():
+    enable_compile_cache()
+    from sp_gan_tpu.ops.pairwise import knn_indices, pairwise_sqdist
+    from sp_gan_tpu.ops.pallas.knn import knn_pallas
+    from sp_gan_tpu.ops.pallas.chamfer import _chamfer_pallas_raw
+    from sp_gan_tpu.ops.pallas.scatter import scatter_add_pallas
+
+    key = jax.random.PRNGKey(0)
+    failures = 0
+
+    def check(name, ok):
+        nonlocal failures
+        print(("PASS " if ok else "FAIL ") + name, flush=True)
+        failures += 0 if ok else 1
+
+    # kNN
+    for C in (3, 64):
+        x = jax.random.normal(key, (4, 2048, C))
+        ip, dp = knn_pallas(x, 10)
+        ix, dx = knn_indices(x, 10, return_dists=True)
+        check(f"knn idx C={C}",
+              bool(jnp.mean((ip == ix).astype(jnp.float32)) > 0.999))
+        check(f"knn dist C={C}",
+              bool(jnp.max(jnp.abs(dp - dx) / (dx + 1e-3)) < 5e-3))
+
+    # Chamfer
+    x = jax.random.normal(key, (4, 2048, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (4, 2048, 3))
+    d1p, i1p, d2p, i2p = _chamfer_pallas_raw(x, y)
+    d = pairwise_sqdist(x, y)
+    check("chamfer d1", bool(jnp.max(jnp.abs(d1p - jnp.min(d, -1))) < 1e-3))
+    check("chamfer d2", bool(jnp.max(jnp.abs(d2p - jnp.min(d, -2))) < 1e-3))
+    check("chamfer i1", bool(jnp.mean(
+        (i1p == jnp.argmin(d, -1)).astype(jnp.float32)) > 0.999))
+
+    # scatter-add
+    g = jax.random.normal(key, (2, 4096, 128))
+    idx = jax.random.randint(key, (2, 4096), 0, 2048)
+    out = scatter_add_pallas(g, idx, 2048)
+    oracle = jnp.zeros((2, 2048, 128)).at[
+        jnp.arange(2)[:, None], idx].add(g)
+    check("scatter_add", bool(jnp.max(jnp.abs(out - oracle)) < 1e-3))
+
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -77,7 +77,15 @@ class Generator(nn.Module):
         else:
             c1_in, c1_out = 3, 64
 
-        EB = nn.remat(EdgeBlock, static_argnums=(2,)) if cfg.remat else EdgeBlock
+        if cfg.remat:
+            # save only the gathered edge features; recompute the cheap
+            # conv/BN/softmax chains in the backward pass
+            EB = nn.remat(
+                EdgeBlock, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "edge_feats"))
+        else:
+            EB = EdgeBlock
         if cfg.use_head:
             edge1_idx = None  # pc is a learned lift, not the template
         x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx)

@@ -184,6 +184,11 @@ class EdgeBlock(nn.Module):
         B, N, C = x.shape
         assert C == self.fin
         ee = edge_features(x, self.k, idx=idx)               # [B, N, k, 2C]
+        # named residual: the policy-remat path saves only this tensor and
+        # recomputes the conv/BN/softmax chains in the backward (avoids both
+        # re-running the kNN+gather and storing the chain intermediates)
+        from jax.ad_checkpoint import checkpoint_name
+        ee = checkpoint_name(ee, "edge_feats")
         diff = ee[..., C:]
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)

@@ -26,8 +26,9 @@ class TestKnnPallas:
         idx_x, dist_x = knn_indices(x, k, return_dists=True)
         # neighbor sets identical, ascending order both
         np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+        # packed selection truncates low mantissa bits of the distance
         np.testing.assert_allclose(np.asarray(dist_p), np.asarray(dist_x),
-                                   atol=1e-4)
+                                   rtol=2e-3, atol=1e-4)
 
     def test_excludes_self(self, rng):
         from sp_gan_tpu.ops.pallas.knn import knn_pallas
