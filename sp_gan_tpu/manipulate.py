@@ -88,12 +88,20 @@ class Manipulator:
 
     def __init__(self, cfg: Config, g_params, g_stats, sphere: Optional[np.ndarray] = None):
         from sp_gan_tpu.nn import Generator
+        from sp_gan_tpu.nn.fused_eval import (
+            generator_forward_eval, supports_fused)
+        from sp_gan_tpu.ops.dispatch import pallas_enabled
         self.cfg = cfg
         self.ball = sphere if sphere is not None else sphere_template(cfg.np, cfg.template)
         self.sphere = jnp.asarray(self.ball)
         self.G = Generator(cfg)
         self.variables = {"params": g_params, "batch_stats": g_stats}
-        self._fwd = jax.jit(lambda v, x, z: self.G.apply(v, x, z, train=False))
+        if supports_fused(cfg) and pallas_enabled():
+            self._fwd = jax.jit(
+                lambda v, x, z: generator_forward_eval(cfg, v, x, z))
+        else:
+            self._fwd = jax.jit(
+                lambda v, x, z: self.G.apply(v, x, z, train=False))
 
     # -------------------------------------------------------------- core
     def forward(self, z: jax.Array) -> np.ndarray:

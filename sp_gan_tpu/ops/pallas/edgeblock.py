@@ -1,0 +1,119 @@
+"""Fused eval-mode EdgeBlock tail kernel (the serving path).
+
+In eval mode every BatchNorm is a constant per-channel affine, so the whole
+EdgeBlock after the neighbor gather —
+    conv_w1 -> bn -> lrelu -> conv_w2 -> bn -> lrelu -> softmax_k,
+    conv_x -> bn -> lrelu, product, conv_out
+— collapses into four matmuls plus elementwise ops with *no* intermediate
+leaving VMEM. XLA materializes each stage's [B, N, k, F] tensor to HBM
+(~6 round-trips); this kernel reads the edge tensor once and writes [B, N, F].
+
+Used by the eval/generation path (`sp_gan_tpu.nn.fused_eval`); training keeps
+the XLA graph (train-mode BN needs global batch statistics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _edge_tail_kernel(ee_ref, w1_ref, a1_ref, w2_ref, a2_ref, wx_ref, ax_ref,
+                      wout_ref, bout_ref, out_ref, *, tq: int, k: int,
+                      c: int, f2: int, f: int, neg: float):
+    ee = ee_ref[0]                                       # [TQ, k, 2C]
+    flat = ee.reshape(tq * k, 2 * c)
+    diff = flat[:, c:]
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    lrelu = lambda v: jnp.where(v >= 0, v, neg * v)
+
+    # attention branch; a*_ref rows: [0]=scale, [1]=shift (conv bias + BN)
+    h = mm(diff, w1_ref[:, :]) * a1_ref[0] + a1_ref[1]
+    h = lrelu(h)
+    h = mm(h, w2_ref[:, :]) * a2_ref[0] + a2_ref[1]
+    h = lrelu(h).reshape(tq, k, f)
+    h = h - jnp.max(h, axis=1, keepdims=True)            # softmax over k
+    eh = jnp.exp(h)
+    w = eh / jnp.sum(eh, axis=1, keepdims=True)
+
+    # value branch
+    v = mm(flat, wx_ref[:, :]) * ax_ref[0] + ax_ref[1]
+    v = lrelu(v).reshape(tq, k, f)
+    v = v * w
+
+    # conv_out: contraction over (k, F)
+    out = mm(v.reshape(tq, k * f), wout_ref[:, :]) + bout_ref[0]
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "neg", "tq"))
+def edge_tail_pallas(ee: jax.Array, w1, a1, w2, a2, wx, ax, wout, bout,
+                     k: int, neg: float = 0.01, tq: int = 256) -> jax.Array:
+    """ee: [B, N, k, 2C] -> [B, N, F] fused eval EdgeBlock tail.
+
+    w1 [C,F2], w2 [F2,F], wx [2C,F], wout [k*F, F]; a1/a2/ax are [2, width]
+    (scale row, shift row); bout [1, F].
+    """
+    B, N, kk, C2 = ee.shape
+    C = C2 // 2
+    F2 = w1.shape[1]
+    F = w2.shape[1]
+    while N % tq:
+        tq //= 2
+    grid = (B, N // tq)
+    kernel = functools.partial(_edge_tail_kernel, tq=tq, k=k, c=C, f2=F2,
+                               f=F, neg=neg)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, kk, C2), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(w1), full(a1), full(w2), full(a2), full(wx), full(ax),
+            full(wout), full(bout),
+        ],
+        out_specs=pl.BlockSpec((1, tq, F), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, F), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * k * (C * F2 + F2 * F + 2 * C * F + F * F),
+            transcendentals=B * N * k * F,
+            bytes_accessed=B * N * k * C2 * 4 + B * N * F * 4),
+    )(ee, w1, a1, w2, a2, wx, ax, wout, bout)
+
+
+def _fold_bn(dense: Dict, bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
+    """(conv kernel, bias) + eval BN -> (kernel, [scale; shift])."""
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    shift = (dense["bias"] - bn_stats["mean"]) * inv + bn_params["bias"]
+    aff = jnp.stack([inv, shift]).astype(jnp.float32)
+    return dense["kernel"].astype(jnp.float32), aff
+
+
+def edge_block_eval(params: Dict, stats: Dict, x: jax.Array, k: int,
+                    idx=None, neg: float = 0.01) -> jax.Array:
+    """Fused eval forward of one EdgeBlock given its param/stat dicts
+    (layout of `nn.layers.EdgeBlock`): [B, N, C] -> [B, N, F]."""
+    from sp_gan_tpu.ops.edge import edge_features
+
+    ee = edge_features(x, k, idx=idx)
+    w1, a1 = _fold_bn(params["conv_w1"], params["bn_w1"], stats["bn_w1"])
+    w2, a2 = _fold_bn(params["conv_w2"], params["bn_w2"], stats["bn_w2"])
+    wx, ax = _fold_bn(params["conv_x"], params["bn_x"], stats["bn_x"])
+    kf = params["out_kernel"].shape
+    wout = params["out_kernel"].reshape(kf[0] * kf[1], kf[2]).astype(jnp.float32)
+    bout = params["out_bias"][None].astype(jnp.float32)
+    return edge_tail_pallas(ee.astype(jnp.float32), w1, a1, w2, a2, wx, ax,
+                            wout, bout, k=k, neg=neg)

@@ -178,10 +178,13 @@ def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
     """Jitted sampler: (state, z [B,N,nz]) -> clouds [B,N,3] (eval mode —
     BatchNorm running averages, the reference's `draw_sample` path)."""
 
+    from sp_gan_tpu.nn.fused_eval import generator_forward_eval, supports_fused
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
     from sp_gan_tpu.ops.pairwise import knn_indices
     template_idx = jax.device_get(
         knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
     template_idx = jnp.asarray(template_idx)
+    use_fused = supports_fused(cfg) and pallas_enabled()
 
     @jax.jit
     def sample(state: TrainState, z: jax.Array):
@@ -190,7 +193,9 @@ def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
         idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
         params = state.g_ema if (use_ema and state.g_ema is not None) \
             else state.g_params
-        return G.apply({"params": params, "batch_stats": state.g_stats},
-                       x, z, train=False, edge1_idx=idx)
+        variables = {"params": params, "batch_stats": state.g_stats}
+        if use_fused:
+            return generator_forward_eval(cfg, variables, x, z, edge1_idx=idx)
+        return G.apply(variables, x, z, train=False, edge1_idx=idx)
 
     return sample
