@@ -51,8 +51,11 @@ def _edge_tail_kernel(ee_ref, w1_ref, a1_ref, w2_ref, a2_ref, wx_ref, ax_ref,
     v = lrelu(v).reshape(tq, k, f)
     v = v * w
 
-    # conv_out: contraction over (k, F)
-    out = mm(v.reshape(tq, k * f), wout_ref[:, :]) + bout_ref[0]
+    # conv_out: contraction over (k, F) — unrolled over k (Mosaic cannot
+    # shape-cast a minor-dims merge like [TQ,k,F]->[TQ,k*F])
+    out = bout_ref[0] + jnp.zeros((tq, f), jnp.float32)
+    for j in range(k):
+        out = out + mm(v[:, j, :], wout_ref[j])
     out_ref[0] = out
 
 
@@ -61,7 +64,7 @@ def edge_tail_pallas(ee: jax.Array, w1, a1, w2, a2, wx, ax, wout, bout,
                      k: int, neg: float = 0.01, tq: int = 256) -> jax.Array:
     """ee: [B, N, k, 2C] -> [B, N, F] fused eval EdgeBlock tail.
 
-    w1 [C,F2], w2 [F2,F], wx [2C,F], wout [k*F, F]; a1/a2/ax are [2, width]
+    w1 [C,F2], w2 [F2,F], wx [2C,F], wout [k, F, F]; a1/a2/ax are [2, width]
     (scale row, shift row); bout [1, F].
     """
     B, N, kk, C2 = ee.shape
@@ -112,8 +115,7 @@ def edge_block_eval(params: Dict, stats: Dict, x: jax.Array, k: int,
     w1, a1 = _fold_bn(params["conv_w1"], params["bn_w1"], stats["bn_w1"])
     w2, a2 = _fold_bn(params["conv_w2"], params["bn_w2"], stats["bn_w2"])
     wx, ax = _fold_bn(params["conv_x"], params["bn_x"], stats["bn_x"])
-    kf = params["out_kernel"].shape
-    wout = params["out_kernel"].reshape(kf[0] * kf[1], kf[2]).astype(jnp.float32)
+    wout = params["out_kernel"].astype(jnp.float32)        # [k, F, F]
     bout = params["out_bias"][None].astype(jnp.float32)
     return edge_tail_pallas(ee.astype(jnp.float32), w1, a1, w2, a2, wx, ax,
                             wout, bout, k=k, neg=neg)
