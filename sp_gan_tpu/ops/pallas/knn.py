@@ -70,13 +70,11 @@ def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     # can't drive an fp32-precision MXU contraction in Mosaic
     x = x.astype(jnp.float32)
     B, N, C = x.shape
-    # VMEM budget: the unrolled k-round selection keeps ~k live [tq, N] dist
-    # buffers on the Mosaic stack; cap tq so (k+2)*tq*N*4B stays under ~10MB
-    # (hit at N=20000 with tq=32: 16.5MB scoped-vmem OOM).
-    budget_rows = max(8, (10 << 20) // (4 * N * (k + 2)))
-    while tq > budget_rows:
-        tq //= 2
-    tq = max(tq, 8)
+    # VMEM ceiling: Mosaic's scoped-vmem accounting for the unrolled k-round
+    # selection is nonlinear (tq=256 compiles up to N=8192; N=20000 OOMs even
+    # at tq=32), so pin to measured-good tile sizes rather than a model.
+    if N > 8192:
+        tq = 8
     if N % tq != 0:
         cand = tq
         while cand >= 1 and N % cand:
