@@ -73,7 +73,12 @@ class Config:
     seed: int = 123                    # reference seeds torch with 123 (model.py:38-41)
 
     # --- TPU-native knobs (no reference equivalent) ---
-    dtype: str = "float32"             # compute dtype for model math ("bfloat16" for perf)
+    dtype: str = "mixed_edge"          # {mixed_edge, float32, bfloat16}:
+                                       # mixed_edge = bf16 only inside the
+                                       # EdgeBlocks' [B,N,k,*] tensors (f32
+                                       # trunk/norms/grads) — 1.2x faster with
+                                       # probe quality equal to f32; bfloat16
+                                       # (whole model) degrades GAN balance
     remat: bool = False                # rematerialize EdgeBlocks in the backward
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)

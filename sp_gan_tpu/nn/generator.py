@@ -21,6 +21,7 @@ Layer-by-layer parity map (reference line refs):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -86,6 +87,10 @@ class Generator(nn.Module):
                     "edge_feats"))
         else:
             EB = EdgeBlock
+        if cfg.dtype == "mixed_edge":
+            # bf16 confined to the EdgeBlock internals (the HBM-bound edge
+            # tensors); the trunk, norms, losses and gradients stay f32
+            EB = functools.partial(EB, mixed=True)
         if cfg.use_head:
             edge1_idx = None  # pc is a learned lift, not the template
         x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx)

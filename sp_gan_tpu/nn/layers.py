@@ -174,6 +174,7 @@ class EdgeBlock(nn.Module):
     k: int
     norm_momentum: float = 0.9
     negative_slope: float = 0.01
+    mixed: bool = False   # bf16 internals (f32 norms/params), f32 in/out
 
     @nn.compact
     def __call__(self, x, train: bool = True, idx=None):
@@ -183,6 +184,14 @@ class EdgeBlock(nn.Module):
         the graph of a constant is constant)."""
         B, N, C = x.shape
         assert C == self.fin
+        out_dtype = x.dtype
+        if self.mixed:
+            # kNN selection stays f32 inside the dispatch; only the big
+            # [B,N,k,*] edge tensors and their convs run bf16
+            from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
+            if idx is None:
+                idx = knn_dispatch(x, self.k)
+            x = x.astype(jnp.bfloat16)
         ee = edge_features(x, self.k, idx=idx)               # [B, N, k, 2C]
         # named residual: the policy-remat path saves only this tensor and
         # recomputes the conv/BN/softmax chains in the backward (avoids both
@@ -221,7 +230,8 @@ class EdgeBlock(nn.Module):
             (self.fout,),
         )
         out = jnp.einsum("bnkc,kco->bno", v, kernel.astype(v.dtype))
-        return out + out_bias.astype(out.dtype)
+        out = out + out_bias.astype(out.dtype)
+        return out.astype(out_dtype) if self.mixed else out
 
 
 class Attention(nn.Module):

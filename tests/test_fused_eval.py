@@ -13,7 +13,7 @@ from sp_gan_tpu.nn.fused_eval import generator_forward_eval, supports_fused
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = Config(np=64, nk=8, nz=16)
+    cfg = Config(np=64, nk=8, nz=16, dtype="float32")
     G = Generator(cfg)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, cfg.np, 3))

@@ -138,7 +138,7 @@ class TDiscriminator(tnn.Module):
 # ----------------------------------------------------------------- tests
 @pytest.fixture(scope="module")
 def cfg():
-    return Config(np=32, nk=8, nz=16)   # k = 4
+    return Config(np=32, nk=8, nz=16, dtype="float32")  # bit-level parity needs f32 edges   # k = 4
 
 
 class TestGeneratorParity:
