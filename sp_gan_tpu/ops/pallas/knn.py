@@ -62,9 +62,8 @@ def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     N must be a multiple of tq (pad upstream if not; the framework's point
     counts 256..20000 templates satisfy this for tq in {128, 256}).
 
-    Returned distances carry the packed-selection truncation: the low
-    ceil(log2 N) mantissa bits are zeroed (<= 2^-13 relative error at
-    N=2048). Indices are exact; ties break toward the lower index.
+    Indices and distances are exact; ties break toward the lower index
+    (same as argmin).
     """
     # distances always in f32: bf16 inputs both lose selection accuracy and
     # can't drive an fp32-precision MXU contraction in Mosaic
