@@ -37,8 +37,9 @@ class DGCNNFeat(nn.Module):
         widths = (64, 64, 128, 256)
         feats = []
         h = x
+        k = min(self.k, x.shape[1] - 1)   # clamp for tiny clouds
         for i, w in enumerate(widths):
-            ee = edge_features(h, self.k)                  # [B,N,k,2C]
+            ee = edge_features(h, k)                       # [B,N,k,2C]
             v = nn.Dense(w, name=f"conv{i + 1}")(ee)
             v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i + 1}")(v)

@@ -83,9 +83,18 @@ def knn_two_sample(mxx: np.ndarray, mxy: np.ndarray, myy: np.ndarray,
     return float((pred == label).mean())
 
 
-def jsd(clouds1: np.ndarray, clouds2: np.ndarray, res: int = 28) -> float:
+def jsd(clouds1: np.ndarray, clouds2: np.ndarray, res: int = 28,
+        warn: bool = True) -> float:
     """Jensen-Shannon divergence between voxel occupancy distributions
-    (loss_utils.py:473-516), in bits."""
+    (loss_utils.py:473-516), in bits. Clouds are expected inside the
+    [-0.5, 0.5] cube (the reference protocol scales normalized clouds by
+    well under 0.5 first); out-of-bounds points are dropped with a warning,
+    like the reference's bounds check (loss_utils.py:475-477)."""
+    import warnings
+    for name, c in (("clouds1", clouds1), ("clouds2", clouds2)):
+        if warn and np.any(np.abs(np.asarray(c)) > 0.5):
+            warnings.warn(f"JSD: {name} has points outside [-0.5, 0.5]; "
+                          "they are excluded from the occupancy histogram")
     p = np.asarray(voxel_occupancy(jnp.asarray(clouds1), res=res), np.float64)
     q = np.asarray(voxel_occupancy(jnp.asarray(clouds2), res=res), np.float64)
     p, q = p / max(p.sum(), 1), q / max(q.sum(), 1)
