@@ -83,6 +83,8 @@ class Config:
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)
     use_pallas: bool = True            # fused Pallas kernels where available
+    fused_train: bool = False          # fused train-mode EdgeBlock kernels in
+                                       # the G step (pallas; default-arch only)
     nan_guard: bool = False            # skip optimizer updates on non-finite grads
                                        # (reference's unused _check_grad_ok,
                                        # Common/network_utils.py:58-69, made live)

@@ -142,10 +142,182 @@ def edge_block_train_stats(params: Dict, ee: jax.Array, k: int,
             "bn_x": (mx, vx)}
 
 
-def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
-                             neg: float = 0.01, eps: float = 1e-5):
-    """Fused train-mode forward. Returns (out [B,N,F], stats dict)."""
-    stats = edge_block_train_stats(params, ee, k, eps)
+# --------------------------------------------------------------------------
+# Backward: three passes (BN backward needs global reductions, and the three
+# BNs chain — BN2/BNx sums first, then BN1 sums, then apply + input/weight
+# grads). Each pass recomputes its prefix from the edge tensor in VMEM; the
+# only large writes are the final d_ee.
+#
+# Train-mode BN absorbs the conv bias that feeds it (x-hat is invariant to a
+# constant shift), so d_conv_bias == 0 for conv_w1/conv_w2/conv_x; BN
+# gamma/beta grads fall out of the same sums: d_gamma = sum(d_p * x_hat),
+# d_beta = sum(d_p).
+# --------------------------------------------------------------------------
+
+
+def _lrelu(v, neg=0.01):
+    return jnp.where(v >= 0, v, neg * v)
+
+
+def _dlrelu(v, neg=0.01):
+    return jnp.where(v >= 0, 1.0, neg)
+
+
+def _mm(x, w):
+    return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bwd_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout, tq, k, c, f,
+                neg):
+    """Shared recompute + top-of-chain backward. Returns intermediates."""
+    flat = ee.reshape(tq * k, 2 * c)
+    diff = flat[:, c:]
+    h1 = _mm(diff, w1)
+    p1 = h1 * a1[0] + a1[1]
+    y1 = _lrelu(p1, neg)
+    h2 = _mm(y1, w2)
+    p2 = h2 * a2[0] + a2[1]
+    y2 = _lrelu(p2, neg).reshape(tq, k, f)
+    y2 = y2 - jnp.max(y2, axis=1, keepdims=True)
+    e2 = jnp.exp(y2)
+    w = e2 / jnp.sum(e2, axis=1, keepdims=True)            # [TQ,k,F]
+    hx = _mm(flat, wx)
+    px = hx * ax[0] + ax[1]
+    v = _lrelu(px, neg).reshape(tq, k, f)
+
+    # d_u from conv_out
+    d_u = jnp.stack([_mm(d_out, wout[j].T) for j in range(k)], axis=1)
+    d_v = d_u * w                                          # [TQ,k,F]
+    d_wgt = d_u * v
+    # softmax bwd over k
+    d_y2 = w * (d_wgt - jnp.sum(w * d_wgt, axis=1, keepdims=True))
+    d_p2 = d_y2.reshape(tq * k, f) * _dlrelu(p2, neg)
+    d_px = d_v.reshape(tq * k, f) * _dlrelu(px, neg)
+    xhat2 = (p2 - gb2[1]) / gb2[0]
+    return dict(flat=flat, diff=diff, p1=p1, y1=y1, h2=h2, p2=p2, px=px,
+                hx=hx, v=v, w=w, d_u=d_u, d_p2=d_p2, d_px=d_px, xhat2=xhat2,
+                d_out=d_out)
+
+
+def _bwd_pass1_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
+                      wx_ref, ax_ref, gb2_ref, wout_ref,
+                      sums_ref, dwout_ref, dbout_ref,
+                      *, tq, k, c, f, neg):
+    """Accumulate S2a,S2b,Sxa,Sxb (+gamma/beta grads by identity), d_Wout,
+    d_bout. sums layout [4, F]: [S2a, S2b, Sxa, Sxb]."""
+    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
+                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
+                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
+    # value-branch x-hat from px: xhatx = (px - betax)/gammax — gammax/betax
+    # live in affine+gb form; reuse gb trick: pass via ax? separate ref kept
+    # small: we derive xhatx outside from Sx sums NOT needed here... we do
+    # need d_px * xhatx — so xhatx must be computable: xhatx = (hx - mu_x) *
+    # inv_x = (px - c_x_beta)/gamma_x. We pass gammax/betax through gb2_ref
+    # rows 2,3.
+    gbx = gb2_ref[:, :]
+    xhatx = (i["px"] - gbx[3]) / gbx[2]
+    s2a = jnp.sum(i["d_p2"], axis=0)
+    s2b = jnp.sum(i["d_p2"] * i["xhat2"], axis=0)
+    sxa = jnp.sum(i["d_px"], axis=0)
+    sxb = jnp.sum(i["d_px"] * xhatx, axis=0)
+    sums = jnp.stack([s2a, s2b, sxa, sxb])                 # [4, F]
+
+    u = i["v"] * i["w"]                                    # [TQ,k,F]
+    dwout = jnp.stack(
+        [_mm(u[:, j, :].T, i["d_out"]) for j in range(k)])  # [k,F,F]
+    dbout = jnp.sum(i["d_out"], axis=0)[None]               # [1,F]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        sums_ref[0] = sums
+        dwout_ref[:, :, :] = dwout
+        dbout_ref[:, :] = dbout
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        sums_ref[0] += sums
+        dwout_ref[:, :, :] += dwout
+        dbout_ref[:, :] += dbout
+
+
+def _bwd_pass2_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
+                      wx_ref, ax_ref, gb2_ref, wout_ref, s2_ref, gb1_ref,
+                      out1_ref, dw2_ref, *, tq, k, c, f, f2, m, neg):
+    """With BN2 sums known: d_h2 -> d_p1; accumulate S1a,S1b and d_W2."""
+    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
+                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
+                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
+    s2 = s2_ref[0]                                         # [4, F]
+    d_h2 = a2_ref[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
+    d_y1 = _mm(d_h2, w2_ref[:, :].T)
+    d_p1 = d_y1 * _dlrelu(i["p1"], neg)
+    gb1 = gb1_ref[:, :]
+    xhat1 = (i["p1"] - gb1[1]) / gb1[0]
+    s1a = jnp.sum(d_p1, axis=0)
+    s1b = jnp.sum(d_p1 * xhat1, axis=0)
+    out1 = jnp.stack([s1a, s1b])                           # [2, F2]
+    dw2 = _mm(i["y1"].T, d_h2)                             # [F2, F]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        out1_ref[0] = out1
+        dw2_ref[:, :] = dw2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out1_ref[0] += out1
+        dw2_ref[:, :] += dw2
+
+
+def _bwd_pass3_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
+                      wx_ref, ax_ref, gb2_ref, wout_ref, s2_ref, gb1_ref,
+                      s1_ref, dee_ref, dw1_ref, dwx_ref,
+                      *, tq, k, c, f, f2, m, neg):
+    """Apply all BN backwards; write d_ee; accumulate d_W1, d_Wx."""
+    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
+                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
+                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
+    s2 = s2_ref[0]
+    d_h2 = a2_ref[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
+    d_y1 = _mm(d_h2, w2_ref[:, :].T)
+    d_p1 = d_y1 * _dlrelu(i["p1"], neg)
+    gb1 = gb1_ref[:, :]
+    xhat1 = (i["p1"] - gb1[1]) / gb1[0]
+    s1 = s1_ref[0]                                         # [2, F2]
+    d_h1 = a1_ref[0] * (d_p1 - s1[0] / m - xhat1 * (s1[1] / m))
+
+    gbx = gb2_ref[:, :]
+    xhatx = (i["px"] - gbx[3]) / gbx[2]
+    d_hx = ax_ref[0] * (i["d_px"] - s2[2] / m - xhatx * (s2[3] / m))
+
+    d_diff = _mm(d_h1, w1_ref[:, :].T)                     # [S, C]
+    d_full = _mm(d_hx, wx_ref[:, :].T)                     # [S, 2C]
+    d_ee = jnp.concatenate([d_full[:, :c], d_full[:, c:] + d_diff], axis=1)
+    dee_ref[0] = d_ee.reshape(tq, k, 2 * c)
+
+    dw1 = _mm(i["diff"].T, d_h1)                           # [C, F2]
+    dwx = _mm(i["flat"].T, d_hx)                           # [2C, F]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw1_ref[:, :] = dw1
+        dwx_ref[:, :] = dwx
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1_ref[:, :] += dw1
+        dwx_ref[:, :] += dwx
+
+
+def _fold_all(params: Dict, stats: Dict, eps: float):
+    """All per-pass constants from params + batch stats."""
     g = lambda bn: (params[bn]["scale"].astype(jnp.float32),
                     params[bn]["bias"].astype(jnp.float32))
     a1 = _affine(*stats["bn_w1"], *g("bn_w1"),
@@ -154,6 +326,19 @@ def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
                  params["conv_w2"]["bias"].astype(jnp.float32), eps)
     ax = _affine(*stats["bn_x"], *g("bn_x"),
                  params["conv_x"]["bias"].astype(jnp.float32), eps)
+    g2, b2 = g("bn_w2")
+    gx, bx = g("bn_x")
+    gb2x = jnp.stack([g2, b2, gx, bx]).astype(jnp.float32)   # [4, F]
+    g1, b1 = g("bn_w1")
+    gb1 = jnp.stack([g1, b1]).astype(jnp.float32)            # [2, F2]
+    return a1, a2, ax, gb2x, gb1
+
+
+def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
+                             neg: float = 0.01, eps: float = 1e-5):
+    """Fused train-mode forward. Returns (out [B,N,F], stats dict)."""
+    stats = edge_block_train_stats(params, ee, k, eps)
+    a1, a2, ax, _, _ = _fold_all(params, stats, eps)
     out = edge_tail_pallas(
         ee.astype(jnp.float32),
         params["conv_w1"]["kernel"].astype(jnp.float32), a1,
@@ -163,3 +348,115 @@ def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
         params["out_bias"][None].astype(jnp.float32),
         k=k, neg=neg)
     return out, stats
+
+
+@functools.partial(jax.jit, static_argnames=("k", "neg", "eps", "tq"))
+def edge_block_train_backward(params: Dict, ee: jax.Array, stats: Dict,
+                              d_out: jax.Array, k: int, neg: float = 0.01,
+                              eps: float = 1e-5, tq: int = 128):
+    """Three-pass fused backward. Returns (d_params, d_ee)."""
+    B, N, kk, C2 = ee.shape
+    C = C2 // 2
+    F = params["conv_w2"]["kernel"].shape[1]
+    F2 = params["conv_w1"]["kernel"].shape[1]
+    M = B * N * kk
+    while N % tq:
+        tq //= 2
+    grid = (B, N // tq)
+    ee32 = ee.astype(jnp.float32)
+    d_out32 = d_out.astype(jnp.float32)
+
+    w1 = params["conv_w1"]["kernel"].astype(jnp.float32)
+    w2 = params["conv_w2"]["kernel"].astype(jnp.float32)
+    wx = params["conv_x"]["kernel"].astype(jnp.float32)
+    wout = params["out_kernel"].astype(jnp.float32)
+    a1, a2, ax, gb2x, gb1 = _fold_all(params, stats, eps)
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    ee_spec = pl.BlockSpec((1, tq, kk, C2), lambda b, t: (b, t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dout_spec = pl.BlockSpec((1, tq, F), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM)
+    common_in = [ee_spec, dout_spec, full(w1), full(a1), full(w2), full(a2),
+                 full(wx), full(ax), full(gb2x), full(wout)]
+    common_args = (ee32, d_out32, w1, a1, w2, a2, wx, ax, gb2x, wout)
+
+    sums, d_wout, d_bout = pl.pallas_call(
+        functools.partial(_bwd_pass1_kernel, tq=tq, k=k, c=C, f=F, neg=neg),
+        grid=grid,
+        in_specs=common_in,
+        out_specs=(acc((1, 4, F)), acc((kk, F, F)), acc((1, F))),
+        out_shape=(jax.ShapeDtypeStruct((1, 4, F), jnp.float32),
+                   jax.ShapeDtypeStruct((kk, F, F), jnp.float32),
+                   jax.ShapeDtypeStruct((1, F), jnp.float32)),
+    )(*common_args)
+
+    s1, d_w2 = pl.pallas_call(
+        functools.partial(_bwd_pass2_kernel, tq=tq, k=k, c=C, f=F, f2=F2,
+                          m=M, neg=neg),
+        grid=grid,
+        in_specs=common_in + [full(sums), full(gb1)],
+        out_specs=(acc((1, 2, F2)), acc((F2, F))),
+        out_shape=(jax.ShapeDtypeStruct((1, 2, F2), jnp.float32),
+                   jax.ShapeDtypeStruct((F2, F), jnp.float32)),
+    )(*common_args, sums, gb1)
+
+    d_ee, d_w1, d_wx = pl.pallas_call(
+        functools.partial(_bwd_pass3_kernel, tq=tq, k=k, c=C, f=F, f2=F2,
+                          m=M, neg=neg),
+        grid=grid,
+        in_specs=common_in + [full(sums), full(gb1), full(s1)],
+        out_specs=(ee_spec, acc((C, F2)), acc((C2, F))),
+        out_shape=(jax.ShapeDtypeStruct((B, N, kk, C2), jnp.float32),
+                   jax.ShapeDtypeStruct((C, F2), jnp.float32),
+                   jax.ShapeDtypeStruct((C2, F), jnp.float32)),
+    )(*common_args, sums, gb1, s1)
+
+    zeros = jnp.zeros
+    d_params = {
+        "conv_w1": {"kernel": d_w1, "bias": zeros((F2,), jnp.float32)},
+        "conv_w2": {"kernel": d_w2, "bias": zeros((F,), jnp.float32)},
+        "conv_x": {"kernel": d_wx, "bias": zeros((F,), jnp.float32)},
+        "out_kernel": d_wout,
+        "out_bias": d_bout[0],
+        # d_gamma = sum(d_p * xhat), d_beta = sum(d_p)
+        "bn_w1": {"scale": s1[0, 1], "bias": s1[0, 0]},
+        "bn_w2": {"scale": sums[0, 1], "bias": sums[0, 0]},
+        "bn_x": {"scale": sums[0, 3], "bias": sums[0, 2]},
+    }
+    return d_params, d_ee.astype(ee.dtype)
+
+
+# ------------------------------------------------------------------ API
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_edge_block(params: Dict, ee: jax.Array, k: int, neg: float = 0.01,
+                     eps: float = 1e-5):
+    """Differentiable fused train-mode EdgeBlock: (out [B,N,F], stats).
+
+    `stats` carries the batch (mean, var) per BN for running-average updates;
+    it receives no gradient.
+    """
+    out, stats = edge_block_train_forward(params, ee, k, neg, eps)
+    return out, stats
+
+
+def _feb_fwd(params, ee, k, neg, eps):
+    out, stats = edge_block_train_forward(params, ee, k, neg, eps)
+    return (out, stats), (params, ee, stats)
+
+
+def _feb_bwd(k, neg, eps, res, g):
+    params, ee, stats = res
+    d_out, _ = g
+    d_params, d_ee = edge_block_train_backward(params, ee, stats, d_out,
+                                               k, neg, eps)
+    # cast param grads to the param dtypes
+    d_params = jax.tree.map(lambda gg, p: gg.astype(p.dtype), d_params,
+                            params)
+    return d_params, d_ee
+
+
+fused_edge_block.defvjp(_feb_fwd, _feb_bwd)

@@ -62,9 +62,19 @@ def make_train_step(
         knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
     template_idx = jnp.asarray(template_idx)                  # [N, k]
 
+    from sp_gan_tpu.nn.fused_eval import supports_fused
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
+    use_fused_g = (cfg.fused_train and supports_fused(cfg)
+                   and pallas_enabled())
+
     def g_forward(g_params, g_stats, x, z):
         B = x.shape[0]
         idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
+        if use_fused_g:
+            from sp_gan_tpu.nn.fused_train import generator_forward_train
+            out, new_stats = generator_forward_train(
+                cfg, g_params, g_stats, x, z, edge1_idx=idx)
+            return out, {"batch_stats": new_stats}
         return G.apply({"params": g_params, "batch_stats": g_stats},
                        x, z, train=True, edge1_idx=idx,
                        mutable=["batch_stats"])
