@@ -353,7 +353,9 @@ def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
 @functools.partial(jax.jit, static_argnames=("k", "neg", "eps", "tq"))
 def edge_block_train_backward(params: Dict, ee: jax.Array, stats: Dict,
                               d_out: jax.Array, k: int, neg: float = 0.01,
-                              eps: float = 1e-5, tq: int = 128):
+                              eps: float = 1e-5, tq: int = 64):
+    # tq=64: the recompute chains keep ~15 live [tq*k, F] buffers on the
+    # Mosaic stack; tq=128 overflows the 16MB scoped-vmem limit at F=128.
     """Three-pass fused backward. Returns (d_params, d_ee)."""
     B, N, kk, C2 = ee.shape
     C = C2 // 2
