@@ -123,7 +123,11 @@ class Generator(nn.Module):
         out = jnp.tanh(TorchDense(3, name="tail3")(out))
 
         if cfg.off:
-            out = out + pc
+            # offset mode adds the sphere coordinates (Generator.py:196 adds
+            # `pc`; with use_head the reference's pc is 128-d and that line
+            # would crash there too — we always add the 3-d template, the
+            # only well-defined reading)
+            out = out + x
         return out.astype(jnp.float32)
 
     def interpolate(self, x, z1, z2, selection, alpha, use_latent: bool = False,
