@@ -108,8 +108,11 @@ class Trainer:
         aug_key = jax.random.PRNGKey(cfg.seed + 2)
         sharding = batch_sharding(self.mesh) if self.mesh else None
 
+        from sp_gan_tpu.utils.profiling import StepTimer
+
         d_meter, g_meter = AverageValueMeter(), AverageValueMeter()
         ra_meter, fa_meter = AverageValueMeter(), AverageValueMeter()
+        timer = StepTimer(points_per_step=cfg.bs * cfg.np, window=50)
         t_start = time.time()
         global_step = 0
 
@@ -124,6 +127,12 @@ class Trainer:
                     real = self._augment(k, real)
                 self.state, metrics = self.train_step(self.state, real)
                 global_step += 1
+                rate = timer.tick()
+                if rate:
+                    self.log("throughput: %.2f steps/s, %.0f pts/s, "
+                             "%.1f ms/step" % (rate["steps_per_sec"],
+                                               rate["points_per_sec"],
+                                               rate["ms_per_step"]))
                 if cfg.save and global_step % 20 == 0:
                     self.dump_samples(epoch, global_step)
                 if global_step % cfg.log_every == 0 and metrics is not None:
