@@ -85,6 +85,9 @@ class Config:
     use_pallas: bool = True            # fused Pallas kernels where available
     fused_train: bool = False          # fused train-mode EdgeBlock kernels in
                                        # the G step (pallas; default-arch only)
+    fused_dphase: bool = False         # fused train-mode G forward for the
+                                       # D-phase fake generation only (no
+                                       # backward kernels involved)
     nan_guard: bool = False            # skip optimizer updates on non-finite grads
                                        # (reference's unused _check_grad_ok,
                                        # Common/network_utils.py:58-69, made live)

@@ -64,13 +64,18 @@ def make_train_step(
 
     from sp_gan_tpu.nn.fused_eval import supports_fused
     from sp_gan_tpu.ops.dispatch import pallas_enabled
-    use_fused_g = (cfg.fused_train and supports_fused(cfg)
-                   and pallas_enabled())
+    fused_ok = supports_fused(cfg) and pallas_enabled()
+    use_fused_g = cfg.fused_train and fused_ok
+    # The D-phase generator forward runs under stop_gradient, so the fused
+    # train-mode forward (whose backward kernels are the slow part) can serve
+    # it regardless of the fused_train flag.
+    use_fused_dphase = cfg.fused_dphase and fused_ok
 
-    def g_forward(g_params, g_stats, x, z):
+    def g_forward(g_params, g_stats, x, z, grad_needed=True):
         B = x.shape[0]
         idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
-        if use_fused_g:
+        fused = use_fused_g or (use_fused_dphase and not grad_needed)
+        if fused:
             from sp_gan_tpu.nn.fused_train import generator_forward_train
             out, new_stats = generator_forward_train(
                 cfg, g_params, g_stats, x, z, edge1_idx=idx)
@@ -91,7 +96,8 @@ def make_train_step(
         # ---------------- D step ----------------
         z_d = sample_z(k_zd, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
                        cfg.n_mix, ball_sqdist)
-        fake, g_mut = g_forward(state.g_params, state.g_stats, x, z_d)
+        fake, g_mut = g_forward(state.g_params, state.g_stats, x, z_d,
+                                grad_needed=False)
         fake = jax.lax.stop_gradient(fake)
         g_stats = g_mut["batch_stats"]
 
