@@ -67,3 +67,35 @@ def query_and_group_xyz(xyz: jax.Array, k: int) -> jax.Array:
     without recentering. [B,N,3] -> [B,N,k,3]."""
     idx, _ = knn_query(k, xyz, xyz)
     return group_points(xyz, idx)
+
+
+def feature_distribute(max_xyz: jax.Array, xyz: jax.Array) -> jax.Array:
+    """pointops `featuredistribute` (`metrics/pointops/src/
+    featuredistribute/`): for each point of `xyz`, the index of its nearest
+    point in `max_xyz`. [B,M,3],[B,N,3] -> [B,N] int32."""
+    d = pairwise_sqdist(xyz, max_xyz)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def feature_gather(max_feature: jax.Array, distribute_idx: jax.Array) -> jax.Array:
+    """pointops `featuregather`: max_feature [B,M,C], idx [B,N] -> [B,N,C]."""
+    return jnp.take_along_axis(max_feature, distribute_idx[..., None], axis=1)
+
+
+def label_stat(labels: jax.Array, idx: jax.Array, n_classes: int) -> jax.Array:
+    """pointops `labelstat_idx`-style neighborhood label histogram: labels
+    [B,N] int, neighbor idx [B,S,k] -> [B,S,n_classes] counts."""
+    grouped = group_points(labels[..., None].astype(jnp.int32), idx)[..., 0]
+    onehot = jax.nn.one_hot(grouped, n_classes, dtype=jnp.int32)
+    return jnp.sum(onehot, axis=2)
+
+
+def label_stat_ball_range(labels: jax.Array, xyz: jax.Array,
+                          new_xyz: jax.Array, radius: float,
+                          n_classes: int) -> jax.Array:
+    """pointops `labelstat_ballrange`: per query, label histogram over *all*
+    points within `radius` (not capped at nsample)."""
+    d = pairwise_sqdist(new_xyz, xyz)                      # [B,S,N]
+    inside = d < radius * radius
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.int32)  # [B,N,Cl]
+    return jnp.einsum("bsn,bnc->bsc", inside.astype(jnp.int32), onehot)

@@ -123,3 +123,27 @@ class TestShapePreserving:
         y = jnp.array(rng.standard_normal((1, 16, 3)).astype(np.float32))
         g = jax.grad(lambda a: sum(shape_preserving_loss(a, y, k=4)))(x)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPointAux:
+    def test_repulsion_zero_when_spread(self):
+        import numpy as np
+        from sp_gan_tpu.losses import repulsion_loss
+        pts = np.zeros((1, 8, 3), np.float32)
+        pts[0, :, 0] = np.arange(8)          # spacing 1 >> h
+        assert float(repulsion_loss(jnp.array(pts), k=2, h=0.03)) == 0.0
+
+    def test_repulsion_penalizes_clumps(self):
+        import numpy as np
+        from sp_gan_tpu.losses import repulsion_loss
+        pts = np.zeros((1, 8, 3), np.float32)  # all coincident
+        assert float(repulsion_loss(jnp.array(pts), k=2, h=0.03)) > 0
+
+    def test_uniform_prefers_uniform(self):
+        import numpy as np
+        from sp_gan_tpu.losses import uniform_loss
+        rng = np.random.default_rng(0)
+        uni = rng.uniform(-1, 1, (1, 256, 3)).astype(np.float32)
+        clump = np.concatenate([uni[:, :128] * 0.05, uni[:, 128:]], 1)
+        assert float(uniform_loss(jnp.array(uni))) < \
+            float(uniform_loss(jnp.array(clump)))

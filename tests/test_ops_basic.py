@@ -299,3 +299,33 @@ class TestVoxel:
         oracle = np.zeros((res, res, res))
         np.add.at(oracle, (ids[:, 0], ids[:, 1], ids[:, 2]), 1)
         np.testing.assert_array_equal(counts.reshape(res, res, res), oracle)
+
+
+class TestPointopsExtras:
+    def test_feature_distribute_gather(self, rng):
+        from sp_gan_tpu.ops.grouping import feature_distribute, feature_gather
+        max_xyz = jnp.array(rng.standard_normal((1, 8, 3)).astype(np.float32))
+        xyz = max_xyz[:, [3, 1, 7, 0]]      # exact copies of known rows
+        idx = np.asarray(feature_distribute(max_xyz, xyz))
+        np.testing.assert_array_equal(idx[0], [3, 1, 7, 0])
+        feats = jnp.array(rng.standard_normal((1, 8, 5)).astype(np.float32))
+        out = np.asarray(feature_gather(feats, jnp.array(idx)))
+        np.testing.assert_allclose(out[0], np.asarray(feats)[0, [3, 1, 7, 0]])
+
+    def test_label_stat(self, rng):
+        from sp_gan_tpu.ops.grouping import label_stat, knn_query
+        xyz = jnp.array(rng.standard_normal((1, 16, 3)).astype(np.float32))
+        labels = jnp.array(rng.integers(0, 3, (1, 16)).astype(np.int32))
+        idx, _ = knn_query(4, xyz)
+        hist = np.asarray(label_stat(labels, idx, 3))
+        assert hist.shape == (1, 16, 3)
+        np.testing.assert_array_equal(hist.sum(-1), 4)
+
+    def test_label_stat_ball_range(self, rng):
+        from sp_gan_tpu.ops.grouping import label_stat_ball_range
+        xyz = jnp.array(rng.uniform(-1, 1, (1, 32, 3)).astype(np.float32))
+        labels = jnp.array(rng.integers(0, 2, (1, 32)).astype(np.int32))
+        hist = np.asarray(label_stat_ball_range(labels, xyz, xyz, 10.0, 2))
+        # radius covers everything: each histogram = global label counts
+        glob = np.bincount(np.asarray(labels)[0], minlength=2)
+        np.testing.assert_array_equal(hist[0, 0], glob)
