@@ -101,12 +101,48 @@ class Trainer:
         print(msg, flush=True)
 
     # ------------------------------------------------------------------
+    def _device_data_step(self):
+        """On-device input path: the whole dataset lives in HBM and each step
+        receives only a [bs] index vector — batch gather, per-item point
+        shuffle and augmentation all happen inside one jitted program.
+
+        This removes the per-step host->device batch staging that limits the
+        end-to-end rate (the reference streams every batch through DataLoader
+        workers + pinned copies; with the dataset at ~24KB/cloud even full
+        ShapeNet classes fit comfortably on-chip).
+        """
+        from sp_gan_tpu.data.augment import shuffle_points_batch
+
+        cfg = self.cfg
+        data_dev = jax.device_put(jnp.asarray(self.dataset.data))
+        base = self.train_step
+
+        def step_from_idx(state, idx, key):
+            real = jnp.take(data_dev, idx, axis=0)
+            k1, k2 = jax.random.split(key)
+            real = shuffle_points_batch(k1, real)
+            if cfg.augment:
+                real = augment_batch(k2, real, True)
+            if self.mesh is not None:
+                real = jax.lax.with_sharding_constraint(
+                    real, batch_sharding(self.mesh))
+            return base(state, real)
+
+        donate = (0,) if cfg.donate_state else ()
+        return jax.jit(step_from_idx, donate_argnums=donate)
+
     def train(self, max_epoch: Optional[int] = None):
         cfg = self.cfg
         max_epoch = max_epoch or cfg.max_epoch
         rng_np = np.random.default_rng(cfg.seed)
         aug_key = jax.random.PRNGKey(cfg.seed + 2)
         sharding = batch_sharding(self.mesh) if self.mesh else None
+
+        # on-device data path when the dataset fits in HBM (<=1GB)
+        use_device_data = self.dataset.data.nbytes <= (1 << 30)
+        if use_device_data:
+            step_from_idx = self._device_data_step()
+            data_key = jax.random.PRNGKey(cfg.seed + 3)
 
         from sp_gan_tpu.utils.profiling import StepTimer
 
@@ -117,10 +153,45 @@ class Trainer:
         global_step = 0
 
         for epoch in range(self.start_epoch, max_epoch + 1):
+            metrics = None
+            if use_device_data:
+                order = rng_np.permutation(len(self.dataset))
+                n_steps = len(order) // cfg.bs
+                if self.cfg.steps_per_epoch:
+                    n_steps = min(n_steps, self.cfg.steps_per_epoch)
+                for s in range(n_steps):
+                    idx = jnp.asarray(order[s * cfg.bs:(s + 1) * cfg.bs]
+                                      .astype(np.int32))
+                    data_key, k = jax.random.split(data_key)
+                    self.state, metrics = step_from_idx(self.state, idx, k)
+                    global_step += 1
+                    rate = timer.tick()
+                    if rate:
+                        self.log("throughput: %.2f steps/s, %.0f pts/s, "
+                                 "%.1f ms/step" % (rate["steps_per_sec"],
+                                                   rate["points_per_sec"],
+                                                   rate["ms_per_step"]))
+                    if cfg.save and global_step % 20 == 0:
+                        self.dump_samples(epoch, global_step)
+                    if global_step % cfg.log_every == 0 and metrics is not None:
+                        m = jax.device_get(metrics)
+                        d_meter.update(float(m["d_loss"]))
+                        g_meter.update(float(m["g_loss"]))
+                        ra_meter.update(float(m["real_acc"]))
+                        fa_meter.update(float(m["fake_acc"]))
+                dt = time.time() - t_start
+                self.log("Epoch: [%2d] time: %2dm %2ds d_loss: %.8f, "
+                         "g_loss: %.8f" % (epoch, dt / 60, dt % 60,
+                                           d_meter.avg, g_meter.avg))
+                self.log("real_acc: %f  fake_acc: %f"
+                         % (ra_meter.avg, fa_meter.avg))
+                if epoch % cfg.snapshot == 0:
+                    save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
+                continue
+
             batches = prefetch_to_device(
                 self.dataset.epoch_batches(rng_np, cfg.bs), size=2,
                 sharding=sharding)
-            metrics = None
             for real in batches:
                 if self._augment is not None:
                     aug_key, k = jax.random.split(aug_key)
