@@ -121,3 +121,21 @@ class TestManipulator:
         a = man.shape_interpolate(0, 1, steps=2)
         b = man.shape_interpolate(0, 1, steps=2)
         np.testing.assert_array_equal(a, b)
+
+
+class TestTemplateOrdering:
+    def test_reference_template_path_preserves_order(self, tmp_path):
+        """Masks are defined over template ordering; loading an external
+        .xyz must preserve row order (manipulation parity with reference
+        checkpoints depends on it)."""
+        import numpy as np
+        from sp_gan_tpu.data import sphere_template
+        rng = np.random.default_rng(0)
+        ball = rng.standard_normal((64, 3)).astype(np.float32)
+        p = str(tmp_path / "64.xyz")
+        np.savetxt(p, ball, fmt="%.6f")
+        loaded = sphere_template(64, path=p)
+        # normalization preserves ordering: nearest original row per loaded
+        # row must be the same index
+        from sp_gan_tpu.data.sphere import pc_normalize
+        np.testing.assert_allclose(loaded, pc_normalize(ball), atol=1e-5)

@@ -329,3 +329,28 @@ class TestPointopsExtras:
         # radius covers everything: each histogram = global label counts
         glob = np.bincount(np.asarray(labels)[0], minlength=2)
         np.testing.assert_array_equal(hist[0, 0], glob)
+
+
+class TestEMDOptimality:
+    def test_auction_near_optimal_vs_hungarian(self, rng):
+        """Auction theory: total cost <= optimal + n*eps. Verify against
+        scipy's exact assignment on small instances."""
+        from scipy.optimize import linear_sum_assignment
+        n = 48
+        x1 = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+        x2 = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+        eps = 0.002
+        dist, assign = ops.emd_auction(jnp.array(x1), jnp.array(x2),
+                                       eps, 2000)
+        cost = float(np.asarray(dist).sum())
+        d = ((x1[0][:, None] - x2[0][None]) ** 2).sum(-1)
+        ri, ci = linear_sum_assignment(d)
+        optimal = float(d[ri, ci].sum())
+        assert cost <= optimal + n * eps + 1e-4, (cost, optimal)
+
+    def test_assignment_bijective_when_converged(self, rng):
+        n = 32
+        x1 = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+        x2 = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+        _, assign = ops.emd_auction(jnp.array(x1), jnp.array(x2), 0.005, 2000)
+        assert len(set(np.asarray(assign)[0].tolist())) == n
