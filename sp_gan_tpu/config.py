@@ -118,7 +118,10 @@ class Config:
         d = json.loads(s)
         d["mesh_shape"] = tuple(d.get("mesh_shape", (1,)))
         d["mesh_axes"] = tuple(d.get("mesh_axes", ("data",)))
-        return Config(**d)
+        # forward/backward compatible: ignore unknown keys (configs written
+        # by other framework versions), default missing ones
+        known = {f.name for f in dataclasses.fields(Config)}
+        return Config(**{k: v for k, v in d.items() if k in known})
 
 
 def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help_: str = "") -> None:

@@ -52,3 +52,17 @@ class TestMultiClassDataset:
         assert len(ds) == 7
         assert ds.labels is not None
         assert set(ds.labels.tolist()) == {0, 1}
+
+
+class TestConfigCompat:
+    def test_from_json_ignores_unknown_keys(self):
+        import json
+        d = json.loads(Config().to_json())
+        d["future_flag_xyz"] = 42
+        cfg = Config.from_json(json.dumps(d))
+        assert cfg == Config()
+
+    def test_from_json_defaults_missing_keys(self):
+        cfg = Config.from_json('{"choice": "Table"}')
+        assert cfg.choice == "Table"
+        assert cfg.np == 2048
