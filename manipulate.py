@@ -3,8 +3,9 @@
 (replaces `/root/reference/visual.py`'s toggled `draw_*` calls).
 
     python manipulate.py --log_dir log/run --routine correspondence
-Routines: correspondence, interpolate, part_interpolate, part_edit,
-part_flip, part_exchange, edit_interpolate, all.
+Routines: correspondence, interpolate, part_interpolate, style_interpolate,
+part_interpolate_detail, part_edit, part_flip, part_exchange,
+edit_interpolate, all.
 """
 
 import argparse
@@ -39,7 +40,8 @@ def main():
 
     routines = ([args.routine] if args.routine != "all" else
                 ["correspondence", "interpolate", "part_interpolate",
-                 "part_edit", "part_flip", "part_exchange", "edit_interpolate"])
+                 "style_interpolate", "part_interpolate_detail", "part_edit",
+                 "part_flip", "part_exchange", "edit_interpolate"])
     mask = region_mask(man.ball, anchor=0, num=cfg.np // 3)
 
     for r in routines:
@@ -53,6 +55,15 @@ def main():
         elif r == "part_interpolate":
             pcs = man.part_interpolate(mask, args.seed, args.seed + 1, args.steps)
             plot_three_views(path, list(pcs))
+        elif r == "style_interpolate":
+            pcs = man.style_interpolate(mask, args.seed, args.seed + 1,
+                                        args.steps)
+            plot_three_views(path, list(pcs))
+        elif r == "part_interpolate_detail":
+            shape_row, grid, _ = man.part_interpolate_detail(
+                args.seed, args.seed + 1)
+            rows = [shape_row] + [grid[i] for i in range(grid.shape[0])]
+            plot_three_views(path, [pc for row in rows for pc in row])
         elif r == "part_edit":
             pcs = man.part_edit(mask, args.seed)
             plot_three_views(path, list(pcs))

@@ -136,6 +136,63 @@ def convert_discriminator(state_dict: Dict, cfg: Config) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_dgcnn(state_dict: Dict) -> Dict:
+    """DGCNN-cls encoder state_dict -> variables for `eval.dgcnn.DGCNNFeat`.
+
+    The reference's FPD extractor (`GAN_metrics.load_evaluate_model`,
+    `Common/GAN_metrics.py:125-182`) is the DGCNN-cls encoder of
+    antao97/UnsupervisedPointCloudReconstruction, weights
+    `Classify_dgcnn_cls_k40_1024_b32.pkl`. Key layout (after the reference's
+    own `module.` strip, `GAN_metrics._load_pretrain`):
+
+      encoder.conv{1..4}.0.weight  Conv2d [out, 2C, 1, 1], bias=False
+      encoder.conv{1..4}.1.*       BatchNorm2d
+      encoder.conv5.0.weight       Conv1d [feat, 512, 1], bias=False
+      encoder.conv5.1.*            BatchNorm1d
+      classifier.*                 dropped (the reference drops them too)
+
+    The torch encoder's edge features are ordered (neighbor - central,
+    central); ours are (central, neighbor - central), so the first half of
+    every edge-conv kernel's input block is swapped with the second.
+    """
+    sd = {}
+    for key, val in state_dict.items():
+        k = key[7:] if key.startswith("module.") else key
+        if k.startswith("classifier"):
+            continue
+        if k.startswith("encoder."):
+            k = k[len("encoder."):]
+        sd[k] = val
+
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(1, 5):
+        w = _np(sd[f"conv{i}.0.weight"])           # [out, 2C, 1, 1]
+        w = w.reshape(w.shape[0], -1)              # [out, 2C]
+        C = w.shape[1] // 2
+        # torch input rows: (diff, central) -> ours: (central, diff)
+        w = np.concatenate([w[:, C:], w[:, :C]], axis=1)
+        params[f"conv{i}"] = {"kernel": w.T.copy(),
+                              "bias": np.zeros(w.shape[0], np.float32)}
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"conv{i}.1")
+    w5 = _np(sd["conv5.0.weight"]).reshape(_np(sd["conv5.0.weight"]).shape[0], -1)
+    params["conv5"] = {"kernel": w5.T.copy(),
+                       "bias": np.zeros(w5.shape[0], np.float32)}
+    params["bn5"], stats["bn5"] = _bn(sd, "conv5.1")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_dgcnn_weights(path: str) -> Dict:
+    """Load the reference's external DGCNN `.pkl`/`.pth` weights file into
+    DGCNNFeat variables (for checkpoint-comparable FPD)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model_state_dict" in blob:
+        blob = blob["model_state_dict"]
+    return convert_dgcnn(blob)
+
+
 def load_reference_checkpoint(g_path: str, cfg: Config, d_path: str = None):
     """Load reference `.pth` files (torch-cpu) -> ((g_params, g_stats),
     (d_params, d_stats) or None, epoch)."""

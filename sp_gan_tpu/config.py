@@ -26,6 +26,9 @@ class Config:
     scale: float = 1.0                 # post-normalize scale (H5DataLoader.py:103)
     augment: bool = False              # rotate+scale augmentation (H5DataLoader.py:115-117)
     workers: int = 2                   # host prefetch threads (reference: DataLoader workers)
+    con: bool = False                  # multi-class training: chair/table/bench[:cls]
+                                       # (reference --con, H5DataLoader.py:47-60)
+    cls: int = 2                       # number of classes when --con (reference --cls)
     template: Optional[str] = None     # optional path to an .xyz sphere template;
                                        # default: deterministic fibonacci sphere (data/sphere.py)
 
@@ -88,6 +91,13 @@ class Config:
     fused_dphase: bool = False         # fused train-mode G forward for the
                                        # D-phase fake generation only (no
                                        # backward kernels involved)
+    bn_stats: str = "global"           # {global, per_shard}: BatchNorm batch-
+                                       # statistics scope under data parallelism.
+                                       # global = GSPMD full-array semantics
+                                       # (synchronized BN across shards, free);
+                                       # per_shard = the reference DataParallel's
+                                       # per-replica stats (model.py:79-84),
+                                       # groups = product(mesh_shape)
     nan_guard: bool = False            # skip optimizer updates on non-finite grads
                                        # (reference's unused _check_grad_ok,
                                        # Common/network_utils.py:58-69, made live)
@@ -95,9 +105,27 @@ class Config:
     log_every: int = 10                # steps between metric log lines
     steps_per_epoch: Optional[int] = None  # override (for synthetic data / benchmarks)
 
+    def __post_init__(self):
+        if self.bn_stats not in ("global", "per_shard"):
+            raise ValueError(f"bn_stats must be global|per_shard, "
+                             f"got {self.bn_stats!r}")
+        if self.dtype not in ("mixed_edge", "float32", "bfloat16"):
+            raise ValueError(f"dtype must be mixed_edge|float32|bfloat16, "
+                             f"got {self.dtype!r}")
+
     @property
     def n_points(self) -> int:
         return self.np
+
+    @property
+    def bn_groups(self) -> int:
+        """Stat groups for SPBatchNorm under cfg.bn_stats."""
+        if self.bn_stats == "per_shard":
+            g = 1
+            for d in self.mesh_shape:
+                g *= int(d)
+            return max(1, g)
+        return 1
 
     @property
     def k(self) -> int:

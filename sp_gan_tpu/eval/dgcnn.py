@@ -26,20 +26,32 @@ from sp_gan_tpu.ops import edge_features
 
 class DGCNNFeat(nn.Module):
     """[B, N, 3] -> [B, feat_dims] global feature (max-pooled; `max_avg`
-    doubles the width like the reference's `multi` option)."""
+    doubles the width like the reference's `multi` option).
+
+    Protocol notes for trained-weight parity (the extractor behind
+    `Classify_dgcnn_cls_k40_1024_b32.pkl` is the DGCNN-cls encoder of
+    antao97/UnsupervisedPointCloudReconstruction, loaded by
+    `GAN_metrics.load_evaluate_model`): its kNN graph INCLUDES the point
+    itself (torch `topk` over the full row), and its edge features are
+    ordered (neighbor - central, central). We keep our (central, diff)
+    layout — `compat.convert_dgcnn` swaps the first conv kernel's channel
+    blocks — and default `include_self=True` to match the extractor."""
 
     k: int = 40
     feat_dims: int = 1024
     multi: Optional[str] = None   # None | "max" | "max_avg"
+    include_self: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from sp_gan_tpu.ops.pairwise import knn_indices
         widths = (64, 64, 128, 256)
         feats = []
         h = x
         k = min(self.k, x.shape[1] - 1)   # clamp for tiny clouds
         for i, w in enumerate(widths):
-            ee = edge_features(h, k)                       # [B,N,k,2C]
+            idx = knn_indices(h, k, exclude_self=not self.include_self)
+            ee = edge_features(h, k, idx=idx)              # [B,N,k,2C]
             v = nn.Dense(w, name=f"conv{i + 1}")(ee)
             v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i + 1}")(v)

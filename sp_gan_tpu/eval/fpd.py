@@ -83,6 +83,16 @@ class FPD:
             mu2, s2 = activation_statistics(self.activations(ref_clouds))
         return frechet_distance(mu1, s1, mu2, s2)
 
+    @classmethod
+    def from_torch(cls, weights_path: str, k: int = 40,
+                   feat_dims: int = 1024, batch_size: int = 32) -> "FPD":
+        """Checkpoint-comparable FPD: load the reference protocol's external
+        DGCNN classifier weights (`Classify_dgcnn_cls_k40_1024_b32.pkl`,
+        GAN_metrics.py:158) through the compat key-map."""
+        from sp_gan_tpu.compat import load_dgcnn_weights
+        return cls(load_dgcnn_weights(weights_path), k=k,
+                   feat_dims=feat_dims, batch_size=batch_size)
+
     def save_statistics(self, clouds, path: str):
         mu, sigma = activation_statistics(self.activations(clouds))
         np.savez(path, mu=mu, sigma=sigma)

@@ -12,6 +12,9 @@ Reference routine -> API:
   draw_correspondense   (:207) -> Manipulator.correspondence
   draw_shape_intepolate (:279) -> Manipulator.shape_interpolate
   draw_part_shape_inte  (:342) -> Manipulator.part_interpolate
+                                  (+ style-space variant: .style_interpolate,
+                                  Generator.interpolate(use_latent=True))
+  draw_part_shape_inte_detail (:456) -> Manipulator.part_interpolate_detail
   draw_part_edit        (:578) -> Manipulator.part_edit
   draw_part_flip        (:763) -> Manipulator.part_flip
   draw_part_exchange    (:859) -> Manipulator.part_exchange
@@ -109,7 +112,14 @@ class Manipulator:
         x = jnp.broadcast_to(self.sphere[None], (B,) + self.sphere.shape)
         return np.asarray(self._fwd(self.variables, x, z))
 
-    def sample_codes(self, n: int, seed: int = 0, per_point: bool = False) -> jax.Array:
+    def sample_codes(self, n: int, seed: int = 0,
+                     per_point: Optional[bool] = None) -> jax.Array:
+        """Latent codes [n, N, nz]. per_point=None follows cfg.n_rand, so a
+        checkpoint trained with --n_rand (per-point iid codes,
+        model.py:125-131) is sampled the way it was trained; the default
+        (tiled global code) matches model_test.py's raw_noise tiling."""
+        if per_point is None:
+            per_point = self.cfg.n_rand
         key = jax.random.PRNGKey(seed)
         shape = (n, self.cfg.np if per_point else 1, self.cfg.nz)
         z = self.cfg.nv * jax.random.normal(key, shape)
@@ -150,6 +160,63 @@ class Manipulator:
         zs = jnp.concatenate(
             [blend_z(za, zb, mask, a) for a in np.linspace(0, 1, steps)], axis=0)
         return self.forward(zs)
+
+    def style_interpolate(self, mask, seed_a: int = 0, seed_b: int = 1,
+                          steps: int = 6) -> np.ndarray:
+        """Latent (style-space) part interpolation: blend the *post-head
+        styles* of two codes inside `mask` (`Generator.interpolate(
+        use_latent=True)`, Generator.py:216-232). [steps, N, 3]."""
+        za = self.sample_codes(1, seed_a)
+        zb = self.sample_codes(1, seed_b)
+        x = self.sphere[None]
+        sel = jnp.asarray(mask)
+        fwd = jax.jit(lambda v, a: self.G.apply(
+            v, x, za, train=False, z2=zb, blend_mask=sel, blend_alpha=a))
+        return np.concatenate(
+            [np.asarray(fwd(self.variables, a))
+             for a in np.linspace(0.0, 1.0, steps)], axis=0)
+
+    def part_interpolate_detail(self, seed_a: int = 0, seed_b: int = 1,
+                                alphas: Sequence[float] = (1.0, 0.75, 0.5,
+                                                           0.25, 0.0),
+                                mask_sizes: Sequence[int] = (0, 512, 1024,
+                                                             1536, 2048),
+                                normalize: bool = True):
+        """Multi-region fine-grained part interpolation
+        (draw_part_shape_inte_detail, model_test.py:456-577): a 2-D sweep of
+        blend weight x region size. Region j = the last `mask_sizes[j]`
+        template points; inside it z = alpha*z_a + (1-alpha)*z_b (alpha
+        weights code A, as the reference does).
+
+        Returns (shape_row [len(alphas),N,3], grid
+        [len(alphas),len(mask_sizes),N,3], region_masks
+        [len(mask_sizes),N])."""
+        N = self.cfg.np
+        za = self.sample_codes(1, seed_a)
+        zb = self.sample_codes(1, seed_b)
+        masks = np.zeros((len(mask_sizes), N), np.int32)
+        for j, m in enumerate(mask_sizes):
+            if m > 0:
+                masks[j, N - m:] = 1
+
+        # row 1: plain shape interpolation over alphas (model_test.py:523-539)
+        zs = jnp.concatenate([a * za + (1 - a) * zb for a in alphas], axis=0)
+        shape_row = self.forward(zs)
+
+        rows = []
+        for a in alphas:
+            zrow = jnp.concatenate(
+                [jnp.where(jnp.asarray(masks[j]).reshape(1, -1, 1) > 0,
+                           a * za + (1 - a) * zb, za)
+                 for j in range(len(mask_sizes))], axis=0)
+            rows.append(self.forward(zrow))
+        grid = np.stack(rows, axis=0)
+        if normalize:
+            # reference scales 0.75 * normalize_point_cloud (:539,:563)
+            shape_row = 0.75 * np.asarray(normalize_point_cloud(shape_row))
+            grid = 0.75 * np.asarray(normalize_point_cloud(
+                grid.reshape(-1, N, 3))).reshape(grid.shape)
+        return shape_row, grid, masks
 
     def part_edit(self, mask, seed: int = 0, n_variants: int = 4) -> np.ndarray:
         """Keep the shape, resample the masked part (:578-663).

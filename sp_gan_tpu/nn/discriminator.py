@@ -25,7 +25,8 @@ class Discriminator(nn.Module):
     def __call__(self, x, train: bool = True):
         """x: [B, N, 3] -> logits [B, 1] (always float32)."""
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
-        bn = lambda name, v: SPBatchNorm(name=name)(v, train=train)
+        bn = lambda name, v: SPBatchNorm(
+            name=name, groups=self.cfg.bn_groups)(v, train=train)
 
         h = x.astype(dtype)
         for i, width in enumerate((64, 128, 256)):

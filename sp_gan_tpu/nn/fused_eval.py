@@ -45,7 +45,9 @@ def _adain(p: Dict, x, style):
 
 
 def supports_fused(cfg: Config) -> bool:
-    return not (cfg.eql or cfg.attn or cfg.use_head)
+    # per-shard BN stats (cfg.bn_stats) are not implemented by the fused
+    # kernels — they compute/fold global batch statistics
+    return not (cfg.eql or cfg.attn or cfg.use_head or cfg.bn_groups > 1)
 
 
 def generator_forward_eval(cfg: Config, variables: Dict, x: jax.Array,

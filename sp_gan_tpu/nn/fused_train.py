@@ -92,6 +92,13 @@ def generator_forward_train(
     new_stats = dict(batch_stats)
 
     def edge(name, inp, idx):
+        if cfg.dtype in ("mixed_edge", "bfloat16"):
+            # mirror EdgeBlock(mixed=True): kNN selection in f32, the big
+            # [B,N,k,*] edge tensors and the fused kernels' matmuls in bf16
+            if idx is None:
+                from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
+                idx = knn_dispatch(inp, k)
+            inp = inp.astype(jnp.bfloat16)
         ee = edge_features(inp, k, idx=idx)
         out, stats = fused_edge_block(params[name], ee, k, NEG)
         new_stats[name] = {

@@ -45,12 +45,19 @@ class Generator(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, x, z, train: bool = True, edge1_idx=None):
+    def __call__(self, x, z, train: bool = True, edge1_idx=None,
+                 z2=None, blend_mask=None, blend_alpha: float = 0.0):
         """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3].
 
         edge1_idx: optional precomputed kNN indices [B, N, k] for the first
         EdgeConv (valid when x is the static sphere template and use_head is
-        off — the training-loop case, reference model.py:231)."""
+        off — the training-loop case, reference model.py:231).
+
+        z2/blend_mask/blend_alpha: style-space (latent) part interpolation
+        (`Generator.interpolate(use_latent=True)`, Generator.py:216-232):
+        the post-head styles of z and z2 are blended per point where
+        blend_mask [N] is 1 — NOT the z codes (blending z is the separate
+        non-latent mode, handled by pre-blending z before calling)."""
         cfg = self.cfg
         B, N, _ = x.shape
         Dense = make_dense(cfg.eql)
@@ -58,16 +65,25 @@ class Generator(nn.Module):
         k = cfg.nk // 2
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
-        if cfg.z_norm:
-            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
-
         x = x.astype(dtype)
-        z = z.astype(dtype)
 
-        # --- style head ---
-        style = jnp.concatenate([x, z], axis=-1)
-        style = nn.leaky_relu(Dense(dim, name="head1")(style), NEG)
-        style = nn.leaky_relu(Dense(dim, name="head2")(style), NEG)
+        # --- style head (shared weights across both codes) ---
+        head1 = Dense(dim, name="head1")
+        head2 = Dense(dim, name="head2")
+
+        def mk_style(zz):
+            if cfg.z_norm:
+                zz = zz / (jnp.linalg.norm(zz, axis=-1, keepdims=True) + 1e-8)
+            s = jnp.concatenate([x, zz.astype(dtype)], axis=-1)
+            return nn.leaky_relu(head2(nn.leaky_relu(head1(s), NEG)), NEG)
+
+        style = mk_style(z)
+        if z2 is not None:
+            style2 = mk_style(z2)
+            sel = jnp.asarray(blend_mask).reshape(1, -1, 1).astype(style.dtype)
+            a = jnp.asarray(blend_alpha, style.dtype)
+            style = jnp.where(sel > 0,
+                              style * (1 - a) + style2 * a, style)
 
         # --- point trunk ---
         pc = x
@@ -78,19 +94,23 @@ class Generator(nn.Module):
         else:
             c1_in, c1_out = 3, 64
 
+        EB = EdgeBlock
         if cfg.remat:
             # save only the gathered edge features; recompute the cheap
             # conv/BN/softmax chains in the backward pass
             EB = nn.remat(
-                EdgeBlock, static_argnums=(2,),
+                EB, static_argnums=(2,),
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "edge_feats"))
-        else:
-            EB = EdgeBlock
+        eb_kwargs = {}
+        if cfg.bn_groups > 1:
+            eb_kwargs["bn_groups"] = cfg.bn_groups
         if cfg.dtype == "mixed_edge":
             # bf16 confined to the EdgeBlock internals (the HBM-bound edge
             # tensors); the trunk, norms, losses and gradients stay f32
-            EB = functools.partial(EB, mixed=True)
+            eb_kwargs["mixed"] = True
+        if eb_kwargs:
+            EB = functools.partial(EB, **eb_kwargs)
         if cfg.use_head:
             edge1_idx = None  # pc is a learned lift, not the template
         x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx)
@@ -105,10 +125,12 @@ class Generator(nn.Module):
         from sp_gan_tpu.nn.layers import SPBatchNorm
         feat_global = jnp.max(x2, axis=1)                       # [B, dim]
         feat_global = Dense(dim, name="global1")(feat_global)
-        feat_global = SPBatchNorm(name="global_bn1")(feat_global, train=train)
+        feat_global = SPBatchNorm(name="global_bn1", groups=cfg.bn_groups)(
+            feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = Dense(512, name="global2")(feat_global)
-        feat_global = SPBatchNorm(name="global_bn2")(feat_global, train=train)
+        feat_global = SPBatchNorm(name="global_bn2", groups=cfg.bn_groups)(
+            feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = jnp.broadcast_to(feat_global[:, None, :], (B, N, 512))
 
@@ -139,10 +161,7 @@ class Generator(nn.Module):
         if not use_latent:
             z = jnp.where(sel > 0, z1 * (1 - alpha) + z2 * alpha, z1)
             return self(x, z, train=train)
-        # latent (style-space) blending requires running the head on both
-        # codes; reuse __call__ by linearity of the mask on z is NOT valid
-        # here, so we inline the blended-style forward below via a dedicated
-        # method on the module instance.
-        raise NotImplementedError(
-            "style-space interpolation is provided by "
-            "sp_gan_tpu.manipulate.style_interpolate")
+        # latent (style-space) blending: run the shared head on both codes
+        # and mix the styles per point (Generator.py:216-232)
+        return self(x, z1, train=train, z2=z2, blend_mask=selection,
+                    blend_alpha=alpha)

@@ -104,10 +104,22 @@ class SPBatchNorm(nn.Module):
     activations don't destroy the moments of the big [B, N, k, C] edge
     tensors; the scale/shift applies in the input dtype. Matches torch
     BatchNorm{1,2}d train/eval numerics (biased batch variance, eps in sqrt).
+
+    Sharding semantics: with `groups == 1` (default) statistics are taken
+    over the FULL batch. Under GSPMD data parallelism a jnp.mean over the
+    sharded batch axis is a *global* mean (XLA inserts the cross-shard
+    reduction) — i.e. synchronized BN. `groups = n_shards` instead splits
+    the leading batch axis into contiguous groups and normalizes each group
+    by its own statistics — exactly the per-replica stats of the reference's
+    `nn.DataParallel` training (`Generation/model.py:79-84`), expressed as
+    pure array math so GSPMD keeps the group reductions shard-local when the
+    batch sharding is aligned. Running averages then track group 0, matching
+    torch DataParallel's keep-replica-0-buffers behavior.
     """
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -118,20 +130,40 @@ class SPBatchNorm(nn.Module):
                                 lambda s: jnp.zeros(s, jnp.float32), (C,))
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (C,))
+        # param/stat shapes don't depend on grouping; init may use a dummy
+        # batch smaller than the group count
+        G = 1 if self.is_initializing() else self.groups
         if train:
             xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(xf * xf, axis=axes) - mean * mean
+            if G > 1:
+                B = x.shape[0]
+                assert B % G == 0, f"batch {B} not divisible by {G} groups"
+                xg = xf.reshape((G, B // G) + x.shape[1:])
+                axes = tuple(range(1, xg.ndim - 1))
+                mean = jnp.mean(xg, axis=axes)                   # [G, C]
+                var = jnp.mean(xg * xg, axis=axes) - mean * mean
+                batch_mean, batch_var = mean[0], var[0]          # replica 0
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(xf * xf, axis=axes) - mean * mean
+                batch_mean, batch_var = mean, var
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
-                    + (1 - self.momentum) * mean
+                    + (1 - self.momentum) * batch_mean
                 ra_var.value = self.momentum * ra_var.value \
-                    + (1 - self.momentum) * var
+                    + (1 - self.momentum) * batch_var
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
+        if train and G > 1:
+            shape = (G, 1) + (1,) * (x.ndim - 2) + (C,)
+            y = (xf.reshape((G, x.shape[0] // G) + x.shape[1:])
+                 - mean.reshape(shape)) * inv.reshape(shape) \
+                + bias
+            y = y.reshape(x.shape)
+        else:
+            y = (x.astype(jnp.float32) - mean) * inv + bias
         return y.astype(x.dtype)
 
 
@@ -175,6 +207,7 @@ class EdgeBlock(nn.Module):
     norm_momentum: float = 0.9
     negative_slope: float = 0.01
     mixed: bool = False   # bf16 internals (f32 norms/params), f32 in/out
+    bn_groups: int = 1    # per-shard BN stat groups (see SPBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = True, idx=None):
@@ -202,7 +235,8 @@ class EdgeBlock(nn.Module):
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
         bn = lambda name, v: SPBatchNorm(
-            momentum=self.norm_momentum, name=name)(v, train=train)
+            momentum=self.norm_momentum, groups=self.bn_groups,
+            name=name)(v, train=train)
 
         # attention branch (conv_w)
         w = TorchDense(self.fout // 2, name="conv_w1")(diff)

@@ -22,50 +22,66 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _edge_tail_kernel(ee_ref, w1_ref, a1_ref, w2_ref, a2_ref, wx_ref, ax_ref,
-                      wout_ref, bout_ref, out_ref, *, tq: int, k: int,
-                      c: int, f2: int, f: int, neg: float):
-    ee = ee_ref[0]                                       # [TQ, k, 2C]
-    flat = ee.reshape(tq * k, 2 * c)
-    diff = flat[:, c:]
+                      wout_ref, bout_ref, out_ref, *, tq: int, cs: int,
+                      k: int, c: int, f2: int, f: int, neg: float, cd):
+    w1 = w1_ref[:, :].astype(cd)
+    w2 = w2_ref[:, :].astype(cd)
+    wx = wx_ref[:, :].astype(cd)
+    a1, a2, ax = a1_ref[:, :], a2_ref[:, :], ax_ref[:, :]
+    lrelu = lambda v: jnp.where(v >= 0, v, neg * v)
+
+    # bf16 pins DEFAULT precision (Mosaic rejects fp32 contract precision on
+    # bf16 inputs); f32 follows jax_default_matmul_precision
+    prec = jax.lax.Precision.DEFAULT if cd == jnp.bfloat16 else None
 
     def mm(x, w):
         return jax.lax.dot_general(
-            x, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            x.astype(cd), w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
-    lrelu = lambda v: jnp.where(v >= 0, v, neg * v)
+    def body(ci, _):
+        ee = ee_ref[0, pl.ds(ci * cs, cs)]               # [cs, k, 2C]
+        flat = ee.reshape(cs * k, 2 * c)
+        diff = flat[:, c:]
 
-    # attention branch; a*_ref rows: [0]=scale, [1]=shift (conv bias + BN)
-    h = mm(diff, w1_ref[:, :]) * a1_ref[0] + a1_ref[1]
-    h = lrelu(h)
-    h = mm(h, w2_ref[:, :]) * a2_ref[0] + a2_ref[1]
-    h = lrelu(h).reshape(tq, k, f)
-    h = h - jnp.max(h, axis=1, keepdims=True)            # softmax over k
-    eh = jnp.exp(h)
-    w = eh / jnp.sum(eh, axis=1, keepdims=True)
+        # attention branch; a* rows: [0]=scale, [1]=shift (conv bias + BN)
+        h = mm(diff, w1) * a1[0] + a1[1]
+        h = lrelu(h)
+        h = mm(h, w2) * a2[0] + a2[1]
+        h = lrelu(h).reshape(cs, k, f)
+        h = h - jnp.max(h, axis=1, keepdims=True)        # softmax over k
+        eh = jnp.exp(h)
+        w = eh / jnp.sum(eh, axis=1, keepdims=True)
 
-    # value branch
-    v = mm(flat, wx_ref[:, :]) * ax_ref[0] + ax_ref[1]
-    v = lrelu(v).reshape(tq, k, f)
-    v = v * w
+        # value branch
+        v = mm(flat, wx) * ax[0] + ax[1]
+        v = lrelu(v).reshape(cs, k, f)
+        v = v * w
 
-    # conv_out: contraction over (k, F) — unrolled over k (Mosaic cannot
-    # shape-cast a minor-dims merge like [TQ,k,F]->[TQ,k*F])
-    out = bout_ref[0] + jnp.zeros((tq, f), jnp.float32)
-    for j in range(k):
-        out = out + mm(v[:, j, :], wout_ref[j])
-    out_ref[0] = out
+        # conv_out: contraction over (k, F) — unrolled over k (Mosaic cannot
+        # shape-cast a minor-dims merge like [cs,k,F]->[cs,k*F])
+        out = bout_ref[0] + jnp.zeros((cs, f), jnp.float32)
+        for j in range(k):
+            out = out + mm(v[:, j, :], wout_ref[j])
+        out_ref[0, pl.ds(ci * cs, cs)] = out
+        return 0
+
+    jax.lax.fori_loop(0, tq // cs, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "neg", "tq"))
+@functools.partial(jax.jit, static_argnames=("k", "neg", "tq", "cs"))
 def edge_tail_pallas(ee: jax.Array, w1, a1, w2, a2, wx, ax, wout, bout,
-                     k: int, neg: float = 0.01, tq: int = 256) -> jax.Array:
+                     k: int, neg: float = 0.01, tq: int = 1024,
+                     cs: int = 256) -> jax.Array:
     """ee: [B, N, k, 2C] -> [B, N, F] fused eval EdgeBlock tail.
 
     w1 [C,F2], w2 [F2,F], wx [2C,F], wout [k, F, F]; a1/a2/ax are [2, width]
-    (scale row, shift row); bout [1, F].
+    (scale row, shift row); bout [1, F]. A bf16 `ee` runs the chain matmuls
+    in bf16 with f32 accumulation (mixed_edge numerics); f32 stays exact.
     """
     B, N, kk, C2 = ee.shape
     C = C2 // 2
@@ -73,9 +89,13 @@ def edge_tail_pallas(ee: jax.Array, w1, a1, w2, a2, wx, ax, wout, bout,
     F = w2.shape[1]
     while N % tq:
         tq //= 2
+    cs = min(cs, tq)
+    while tq % cs:
+        cs //= 2
+    cd = jnp.bfloat16 if ee.dtype == jnp.bfloat16 else jnp.float32
     grid = (B, N // tq)
-    kernel = functools.partial(_edge_tail_kernel, tq=tq, k=k, c=C, f2=F2,
-                               f=F, neg=neg)
+    kernel = functools.partial(_edge_tail_kernel, tq=tq, cs=cs, k=k, c=C,
+                               f2=F2, f=F, neg=neg, cd=cd)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -94,6 +114,7 @@ def edge_tail_pallas(ee: jax.Array, w1, a1, w2, a2, wx, ax, wout, bout,
             flops=2 * B * N * k * (C * F2 + F2 * F + 2 * C * F + F * F),
             transcendentals=B * N * k * F,
             bytes_accessed=B * N * k * C2 * 4 + B * N * F * 4),
+        compiler_params=_CPARAMS,
     )(ee, w1, a1, w2, a2, wx, ax, wout, bout)
 
 

@@ -1,4 +1,4 @@
-"""Fused train-mode EdgeBlock (forward) — batch-stats edition of
+"""Fused train-mode EdgeBlock — batch-stats edition of
 `ops/pallas/edgeblock.py`.
 
 Train-mode BatchNorm needs batch statistics of three chained conv outputs.
@@ -18,6 +18,16 @@ HBM-bound; here the statistics come from:
 With all three (mean, var) known, the forward output is exactly the eval
 kernel (`edge_tail_pallas`) with batch-stat affines. Total edge-tensor reads:
 2 (moments + stats2) + 1 (output) vs ~6 materialized round-trips in XLA.
+
+Round-2 restructure (v2): every sweep walks a LARGE grid tile (tq points)
+with an inner `fori_loop` over small chunks (cs points), so only
+chunk-sized temporaries are ever live in VMEM. This cuts the sequential
+Mosaic grid from 768 steps/pass (tq=64, the round-1 VMEM-forced tile) to
+B * N/tq steps while keeping the working set ~5 MB. Kernels are also
+dtype-aware: a bf16 edge tensor (the `mixed_edge` default) is consumed
+directly — chunks are cast in VMEM and the chain matmuls run on the MXU in
+bf16 with f32 accumulation, matching the XLA mixed_edge numerics; an f32
+edge tensor keeps the exact-f32 path (used by the parity tests).
 """
 
 from __future__ import annotations
@@ -31,6 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sp_gan_tpu.ops.pallas.edgeblock import edge_tail_pallas
+
+# the big-tile sweeps sit a little above the 16 MB default scoped-vmem
+# limit once in/out blocks are double-buffered; v5e has headroom
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _affine(mean, var, gamma, beta, conv_bias, eps=1e-5):
@@ -46,13 +60,15 @@ def _affine(mean, var, gamma, beta, conv_bias, eps=1e-5):
 def _moment_stats(ee: jax.Array, kernel: jax.Array, bias: jax.Array,
                   cols: slice) -> Tuple[jax.Array, jax.Array]:
     """Exact batch mean/var of (ee[..., cols] @ kernel + bias) per channel
-    via first/second moments of the edge tensor slice."""
-    e = ee[..., cols].astype(jnp.float32)
+    via first/second moments of the edge tensor slice (f32 accumulation)."""
+    e = ee[..., cols]
     B, N, k, C = e.shape
     M = B * N * k
     flat = e.reshape(M, C)
-    mu_e = jnp.mean(flat, axis=0)                          # [C]
-    second = (flat.T @ flat) / M                           # [C, C]
+    mu_e = jnp.mean(flat, axis=0, dtype=jnp.float32)       # [C]
+    second = jax.lax.dot_general(
+        flat, flat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / M            # [C, C]
     mean_h = mu_e @ kernel + bias                          # [F]
     # E[(xW)_f^2] = W_f^T E[xx^T] W_f ; var = E[h^2] - E[h]^2 with h = xW + b
     e_xw2 = jnp.einsum("cf,cd,df->f", kernel, second, kernel)
@@ -61,43 +77,76 @@ def _moment_stats(ee: jax.Array, kernel: jax.Array, bias: jax.Array,
     return mean_h, jnp.maximum(var_h, 0.0)
 
 
-def _stats2_kernel(ee_ref, w1_ref, a1_ref, w2_ref, out_ref, *, tq, k, c, f):
+def _pick_tiles(N: int, tq: int, cs: int) -> Tuple[int, int]:
+    while N % tq:
+        tq //= 2
+    cs = min(cs, tq)
+    while tq % cs:
+        cs //= 2
+    return tq, cs
+
+
+def _mm(x, w, cd):
+    """Chain matmul in compute dtype `cd` (bf16 on the mixed path) with f32
+    accumulation on the MXU. Precision is left to jax_default_matmul_precision
+    so parity checks can force HIGHEST globally (TPU "default" f32 matmuls run
+    reduced-precision bf16 passes) without slowing production paths. bf16
+    operands pin DEFAULT — Mosaic rejects fp32 contract precision on bf16
+    inputs ("Bad lhs type")."""
+    prec = jax.lax.Precision.DEFAULT if cd == jnp.bfloat16 else None
+    return jax.lax.dot_general(x.astype(cd), w.astype(cd),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _lrelu(v, neg=0.01):
+    return jnp.where(v >= 0, v, neg * v)
+
+
+def _dlrelu(v, neg=0.01):
+    return jnp.where(v >= 0, 1.0, neg)
+
+
+def _stats2_kernel(ee_ref, w1_ref, a1_ref, w2_ref, out_ref,
+                   *, tq, cs, k, c, f, cd):
     """Accumulate sum / sum-of-squares of h2 = lrelu(bn1(h1)) @ W2 (+0) into
     out [1, 2, F] (revisited across the whole grid). The +b2 shift is added
     analytically outside."""
-    t = pl.program_id(0) * 0 + pl.program_id(1)  # grid (B, N/tq)
-    ee = ee_ref[0]
-    diff = ee.reshape(tq * k, 2 * c)[:, c:]
-
-    h1 = jax.lax.dot_general(diff, w1_ref[:, :], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    y1 = h1 * a1_ref[0] + a1_ref[1]
-    y1 = jnp.where(y1 >= 0, y1, 0.01 * y1)
-    h2 = jax.lax.dot_general(y1, w2_ref[:, :], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    s = jnp.sum(h2, axis=0)
-    s2 = jnp.sum(h2 * h2, axis=0)
-    both = jnp.stack([s, s2])                              # [2, F]
-
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        out_ref[0] = both
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out_ref[0] += both
+    w1 = w1_ref[:, :]
+    w2 = w2_ref[:, :]
+    a1 = a1_ref[:, :]
+
+    def body(ci, _):
+        ee = ee_ref[0, pl.ds(ci * cs, cs)]                 # [cs, k, 2C]
+        diff = ee.reshape(cs * k, 2 * c)[:, c:]
+        h1 = _mm(diff, w1, cd)
+        y1 = h1 * a1[0] + a1[1]
+        y1 = jnp.where(y1 >= 0, y1, 0.01 * y1)
+        h2 = _mm(y1, w2, cd)
+        s = jnp.sum(h2, axis=0)
+        s2 = jnp.sum(h2 * h2, axis=0)
+        out_ref[0] += jnp.stack([s, s2])                   # [2, F]
+        return 0
+
+    jax.lax.fori_loop(0, tq // cs, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq"))
-def _stats2_pallas(ee, w1, a1, w2, k: int, tq: int = 256):
+@functools.partial(jax.jit, static_argnames=("k", "tq", "cs"))
+def _stats2_pallas(ee, w1, a1, w2, k: int, tq: int = 1024, cs: int = 512):
     B, N, kk, C2 = ee.shape
     C = C2 // 2
     F = w2.shape[1]
-    while N % tq:
-        tq //= 2
-    kern = functools.partial(_stats2_kernel, tq=tq, k=k, c=C, f=F)
+    tq, cs = _pick_tiles(N, tq, cs)
+    cd = jnp.bfloat16 if ee.dtype == jnp.bfloat16 else jnp.float32
+    kern = functools.partial(_stats2_kernel, tq=tq, cs=cs, k=k, c=C, f=F,
+                             cd=cd)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -111,6 +160,7 @@ def _stats2_pallas(ee, w1, a1, w2, k: int, tq: int = 256):
         out_specs=pl.BlockSpec((1, 2, F), lambda b, t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2, F), jnp.float32),
+        compiler_params=_CPARAMS,
     )(ee, w1, a1, w2)
     return out[0]
 
@@ -135,7 +185,7 @@ def edge_block_train_stats(params: Dict, ee: jax.Array, k: int,
 
     a1 = _affine(m1, v1, params["bn_w1"]["scale"].astype(jnp.float32),
                  params["bn_w1"]["bias"].astype(jnp.float32), b1, eps)
-    sums = _stats2_pallas(ee.astype(jnp.float32), w1, a1, w2, k)
+    sums = _stats2_pallas(ee, w1, a1, w2, k)
     mean2 = sums[0] / M + b2                # h2 = y1@W2 + b2
     var2 = sums[1] / M - (sums[0] / M) ** 2
     return {"bn_w1": (m1, v1), "bn_w2": (mean2, jnp.maximum(var2, 0.0)),
@@ -143,10 +193,10 @@ def edge_block_train_stats(params: Dict, ee: jax.Array, k: int,
 
 
 # --------------------------------------------------------------------------
-# Backward: three passes (BN backward needs global reductions, and the three
+# Backward: three sweeps (BN backward needs global reductions, and the three
 # BNs chain — BN2/BNx sums first, then BN1 sums, then apply + input/weight
-# grads). Each pass recomputes its prefix from the edge tensor in VMEM; the
-# only large writes are the final d_ee.
+# grads). Each sweep recomputes its prefix from the edge tensor chunk-by-chunk
+# in VMEM; the only large write is the final d_ee.
 #
 # Train-mode BN absorbs the conv bias that feeds it (x-hat is invariant to a
 # constant shift), so d_conv_bias == 0 for conv_w1/conv_w2/conv_x; BN
@@ -155,165 +205,176 @@ def edge_block_train_stats(params: Dict, ee: jax.Array, k: int,
 # --------------------------------------------------------------------------
 
 
-def _lrelu(v, neg=0.01):
-    return jnp.where(v >= 0, v, neg * v)
+def _chunk_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout, cs, k, c, f,
+                  neg, cd):
+    """Shared recompute + top-of-chain backward for one [cs,k,2C] chunk.
 
-
-def _dlrelu(v, neg=0.01):
-    return jnp.where(v >= 0, 1.0, neg)
-
-
-def _mm(x, w):
-    return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _bwd_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout, tq, k, c, f,
-                neg):
-    """Shared recompute + top-of-chain backward. Returns intermediates."""
-    flat = ee.reshape(tq * k, 2 * c)
+    All matmuls run in compute dtype `cd` with f32 accumulation; the
+    elementwise BN/softmax math stays f32."""
+    flat = ee.reshape(cs * k, 2 * c)
     diff = flat[:, c:]
-    h1 = _mm(diff, w1)
+    h1 = _mm(diff, w1, cd)
     p1 = h1 * a1[0] + a1[1]
     y1 = _lrelu(p1, neg)
-    h2 = _mm(y1, w2)
+    h2 = _mm(y1, w2, cd)
     p2 = h2 * a2[0] + a2[1]
-    y2 = _lrelu(p2, neg).reshape(tq, k, f)
+    y2 = _lrelu(p2, neg).reshape(cs, k, f)
     y2 = y2 - jnp.max(y2, axis=1, keepdims=True)
     e2 = jnp.exp(y2)
-    w = e2 / jnp.sum(e2, axis=1, keepdims=True)            # [TQ,k,F]
-    hx = _mm(flat, wx)
+    w = e2 / jnp.sum(e2, axis=1, keepdims=True)            # [cs,k,F]
+    hx = _mm(flat, wx, cd)
     px = hx * ax[0] + ax[1]
-    v = _lrelu(px, neg).reshape(tq, k, f)
+    v = _lrelu(px, neg).reshape(cs, k, f)
 
     # d_u from conv_out
-    d_u = jnp.stack([_mm(d_out, wout[j].T) for j in range(k)], axis=1)
-    d_v = d_u * w                                          # [TQ,k,F]
+    d_u = jnp.stack([_mm(d_out, wout[j].T, cd) for j in range(k)], axis=1)
+    d_v = d_u * w                                          # [cs,k,F]
     d_wgt = d_u * v
     # softmax bwd over k
     d_y2 = w * (d_wgt - jnp.sum(w * d_wgt, axis=1, keepdims=True))
-    d_p2 = d_y2.reshape(tq * k, f) * _dlrelu(p2, neg)
-    d_px = d_v.reshape(tq * k, f) * _dlrelu(px, neg)
+    d_p2 = d_y2.reshape(cs * k, f) * _dlrelu(p2, neg)
+    d_px = d_v.reshape(cs * k, f) * _dlrelu(px, neg)
     xhat2 = (p2 - gb2[1]) / gb2[0]
-    return dict(flat=flat, diff=diff, p1=p1, y1=y1, h2=h2, p2=p2, px=px,
-                hx=hx, v=v, w=w, d_u=d_u, d_p2=d_p2, d_px=d_px, xhat2=xhat2,
-                d_out=d_out)
+    return dict(flat=flat, diff=diff, p1=p1, y1=y1, p2=p2, px=px,
+                v=v, w=w, d_p2=d_p2, d_px=d_px, xhat2=xhat2, d_out=d_out)
 
 
 def _bwd_pass1_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
                       wx_ref, ax_ref, gb2_ref, wout_ref,
                       sums_ref, dwout_ref, dbout_ref,
-                      *, tq, k, c, f, neg):
+                      *, tq, cs, k, c, f, neg, cd):
     """Accumulate S2a,S2b,Sxa,Sxb (+gamma/beta grads by identity), d_Wout,
     d_bout. sums layout [4, F]: [S2a, S2b, Sxa, Sxb]."""
-    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
-                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
-                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
-    # value-branch x-hat from px: xhatx = (px - betax)/gammax — gammax/betax
-    # live in affine+gb form; reuse gb trick: pass via ax? separate ref kept
-    # small: we derive xhatx outside from Sx sums NOT needed here... we do
-    # need d_px * xhatx — so xhatx must be computable: xhatx = (hx - mu_x) *
-    # inv_x = (px - c_x_beta)/gamma_x. We pass gammax/betax through gb2_ref
-    # rows 2,3.
-    gbx = gb2_ref[:, :]
-    xhatx = (i["px"] - gbx[3]) / gbx[2]
-    s2a = jnp.sum(i["d_p2"], axis=0)
-    s2b = jnp.sum(i["d_p2"] * i["xhat2"], axis=0)
-    sxa = jnp.sum(i["d_px"], axis=0)
-    sxb = jnp.sum(i["d_px"] * xhatx, axis=0)
-    sums = jnp.stack([s2a, s2b, sxa, sxb])                 # [4, F]
-
-    u = i["v"] * i["w"]                                    # [TQ,k,F]
-    dwout = jnp.stack(
-        [_mm(u[:, j, :].T, i["d_out"]) for j in range(k)])  # [k,F,F]
-    dbout = jnp.sum(i["d_out"], axis=0)[None]               # [1,F]
-
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        sums_ref[0] = sums
-        dwout_ref[:, :, :] = dwout
-        dbout_ref[:, :] = dbout
+        sums_ref[0] = jnp.zeros_like(sums_ref[0])
+        dwout_ref[:, :, :] = jnp.zeros_like(dwout_ref[:, :, :])
+        dbout_ref[:, :] = jnp.zeros_like(dbout_ref[:, :])
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        sums_ref[0] += sums
-        dwout_ref[:, :, :] += dwout
-        dbout_ref[:, :] += dbout
+    w1 = w1_ref[:, :]
+    a1 = a1_ref[:, :]
+    w2 = w2_ref[:, :]
+    a2 = a2_ref[:, :]
+    wx = wx_ref[:, :]
+    ax = ax_ref[:, :]
+    gb2 = gb2_ref[:, :]
+    wout = wout_ref[:, :, :]
+
+    def body(ci, _):
+        ee = ee_ref[0, pl.ds(ci * cs, cs)]
+        d_out = dout_ref[0, ci].astype(jnp.float32)
+        i = _chunk_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout,
+                          cs, k, c, f, neg, cd)
+        # value-branch x-hat from px: xhatx = (px - betax)/gammax — gammax /
+        # betax ride in rows 2,3 of gb2.
+        xhatx = (i["px"] - gb2[3]) / gb2[2]
+        s2a = jnp.sum(i["d_p2"], axis=0)
+        s2b = jnp.sum(i["d_p2"] * i["xhat2"], axis=0)
+        sxa = jnp.sum(i["d_px"], axis=0)
+        sxb = jnp.sum(i["d_px"] * xhatx, axis=0)
+        sums_ref[0] += jnp.stack([s2a, s2b, sxa, sxb])     # [4, F]
+
+        u = i["v"] * i["w"]                                # [cs,k,F]
+        dwout_ref[:, :, :] += jnp.stack(
+            [_mm(u[:, j, :].T, i["d_out"], cd) for j in range(k)])
+        dbout_ref[:, :] += jnp.sum(i["d_out"], axis=0)[None]
+        return 0
+
+    jax.lax.fori_loop(0, tq // cs, body, 0)
 
 
 def _bwd_pass2_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
                       wx_ref, ax_ref, gb2_ref, wout_ref, s2_ref, gb1_ref,
-                      out1_ref, dw2_ref, *, tq, k, c, f, f2, m, neg):
+                      out1_ref, dw2_ref, *, tq, cs, k, c, f, f2, m, neg, cd):
     """With BN2 sums known: d_h2 -> d_p1; accumulate S1a,S1b and d_W2."""
-    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
-                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
-                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
-    s2 = s2_ref[0]                                         # [4, F]
-    d_h2 = a2_ref[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
-    d_y1 = _mm(d_h2, w2_ref[:, :].T)
-    d_p1 = d_y1 * _dlrelu(i["p1"], neg)
-    gb1 = gb1_ref[:, :]
-    xhat1 = (i["p1"] - gb1[1]) / gb1[0]
-    s1a = jnp.sum(d_p1, axis=0)
-    s1b = jnp.sum(d_p1 * xhat1, axis=0)
-    out1 = jnp.stack([s1a, s1b])                           # [2, F2]
-    dw2 = _mm(i["y1"].T, d_h2)                             # [F2, F]
-
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        out1_ref[0] = out1
-        dw2_ref[:, :] = dw2
+        out1_ref[0] = jnp.zeros_like(out1_ref[0])
+        dw2_ref[:, :] = jnp.zeros_like(dw2_ref[:, :])
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out1_ref[0] += out1
-        dw2_ref[:, :] += dw2
+    w1 = w1_ref[:, :]
+    a1 = a1_ref[:, :]
+    w2 = w2_ref[:, :]
+    a2 = a2_ref[:, :]
+    wx = wx_ref[:, :]
+    ax = ax_ref[:, :]
+    gb2 = gb2_ref[:, :]
+    wout = wout_ref[:, :, :]
+    s2 = s2_ref[0]                                         # [4, F]
+    gb1 = gb1_ref[:, :]
+
+    def body(ci, _):
+        ee = ee_ref[0, pl.ds(ci * cs, cs)]
+        d_out = dout_ref[0, ci].astype(jnp.float32)
+        i = _chunk_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout,
+                          cs, k, c, f, neg, cd)
+        d_h2 = a2[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
+        d_y1 = _mm(d_h2, w2.T, cd)
+        d_p1 = d_y1 * _dlrelu(i["p1"], neg)
+        xhat1 = (i["p1"] - gb1[1]) / gb1[0]
+        s1a = jnp.sum(d_p1, axis=0)
+        s1b = jnp.sum(d_p1 * xhat1, axis=0)
+        out1_ref[0] += jnp.stack([s1a, s1b])               # [2, F2]
+        dw2_ref[:, :] += _mm(i["y1"].T, d_h2, cd)          # [F2, F]
+        return 0
+
+    jax.lax.fori_loop(0, tq // cs, body, 0)
 
 
 def _bwd_pass3_kernel(ee_ref, dout_ref, w1_ref, a1_ref, w2_ref, a2_ref,
                       wx_ref, ax_ref, gb2_ref, wout_ref, s2_ref, gb1_ref,
                       s1_ref, dee_ref, dw1_ref, dwx_ref,
-                      *, tq, k, c, f, f2, m, neg):
+                      *, tq, cs, k, c, f, f2, m, neg, cd):
     """Apply all BN backwards; write d_ee; accumulate d_W1, d_Wx."""
-    i = _bwd_common(ee_ref[0], dout_ref[0], w1_ref[:, :], a1_ref[:, :],
-                    w2_ref[:, :], a2_ref[:, :], wx_ref[:, :], ax_ref[:, :],
-                    gb2_ref[:, :], wout_ref[:, :, :], tq, k, c, f, neg)
-    s2 = s2_ref[0]
-    d_h2 = a2_ref[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
-    d_y1 = _mm(d_h2, w2_ref[:, :].T)
-    d_p1 = d_y1 * _dlrelu(i["p1"], neg)
-    gb1 = gb1_ref[:, :]
-    xhat1 = (i["p1"] - gb1[1]) / gb1[0]
-    s1 = s1_ref[0]                                         # [2, F2]
-    d_h1 = a1_ref[0] * (d_p1 - s1[0] / m - xhat1 * (s1[1] / m))
-
-    gbx = gb2_ref[:, :]
-    xhatx = (i["px"] - gbx[3]) / gbx[2]
-    d_hx = ax_ref[0] * (i["d_px"] - s2[2] / m - xhatx * (s2[3] / m))
-
-    d_diff = _mm(d_h1, w1_ref[:, :].T)                     # [S, C]
-    d_full = _mm(d_hx, wx_ref[:, :].T)                     # [S, 2C]
-    d_ee = jnp.concatenate([d_full[:, :c], d_full[:, c:] + d_diff], axis=1)
-    dee_ref[0] = d_ee.reshape(tq, k, 2 * c)
-
-    dw1 = _mm(i["diff"].T, d_h1)                           # [C, F2]
-    dwx = _mm(i["flat"].T, d_hx)                           # [2C, F]
-
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
-        dw1_ref[:, :] = dw1
-        dwx_ref[:, :] = dwx
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref[:, :])
+        dwx_ref[:, :] = jnp.zeros_like(dwx_ref[:, :])
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        dw1_ref[:, :] += dw1
-        dwx_ref[:, :] += dwx
+    w1 = w1_ref[:, :]
+    a1 = a1_ref[:, :]
+    w2 = w2_ref[:, :]
+    a2 = a2_ref[:, :]
+    wx = wx_ref[:, :]
+    ax = ax_ref[:, :]
+    gb2 = gb2_ref[:, :]
+    wout = wout_ref[:, :, :]
+    s2 = s2_ref[0]
+    gb1 = gb1_ref[:, :]
+    s1 = s1_ref[0]                                         # [2, F2]
+
+    def body(ci, _):
+        ee = ee_ref[0, pl.ds(ci * cs, cs)]
+        d_out = dout_ref[0, ci].astype(jnp.float32)
+        i = _chunk_common(ee, d_out, w1, a1, w2, a2, wx, ax, gb2, wout,
+                          cs, k, c, f, neg, cd)
+        d_h2 = a2[0] * (i["d_p2"] - s2[0] / m - i["xhat2"] * (s2[1] / m))
+        d_y1 = _mm(d_h2, w2.T, cd)
+        d_p1 = d_y1 * _dlrelu(i["p1"], neg)
+        xhat1 = (i["p1"] - gb1[1]) / gb1[0]
+        d_h1 = a1[0] * (d_p1 - s1[0] / m - xhat1 * (s1[1] / m))
+
+        xhatx = (i["px"] - gb2[3]) / gb2[2]
+        d_hx = ax[0] * (i["d_px"] - s2[2] / m - xhatx * (s2[3] / m))
+
+        d_diff = _mm(d_h1, w1.T, cd)                       # [S, C]
+        d_full = _mm(d_hx, wx.T, cd)                       # [S, 2C]
+        d_ee = jnp.concatenate([d_full[:, :c], d_full[:, c:] + d_diff],
+                               axis=1)
+        dee_ref[0, pl.ds(ci * cs, cs)] = d_ee.reshape(cs, k, 2 * c).astype(
+            dee_ref.dtype)
+
+        dw1_ref[:, :] += _mm(i["diff"].T, d_h1, cd)        # [C, F2]
+        dwx_ref[:, :] += _mm(i["flat"].T, d_hx, cd)        # [2C, F]
+        return 0
+
+    jax.lax.fori_loop(0, tq // cs, body, 0)
 
 
 def _fold_all(params: Dict, stats: Dict, eps: float):
@@ -340,7 +401,7 @@ def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
     stats = edge_block_train_stats(params, ee, k, eps)
     a1, a2, ax, _, _ = _fold_all(params, stats, eps)
     out = edge_tail_pallas(
-        ee.astype(jnp.float32),
+        ee,
         params["conv_w1"]["kernel"].astype(jnp.float32), a1,
         params["conv_w2"]["kernel"].astype(jnp.float32), a2,
         params["conv_x"]["kernel"].astype(jnp.float32), ax,
@@ -350,23 +411,22 @@ def edge_block_train_forward(params: Dict, ee: jax.Array, k: int,
     return out, stats
 
 
-@functools.partial(jax.jit, static_argnames=("k", "neg", "eps", "tq"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "neg", "eps", "tq", "cs"))
 def edge_block_train_backward(params: Dict, ee: jax.Array, stats: Dict,
                               d_out: jax.Array, k: int, neg: float = 0.01,
-                              eps: float = 1e-5, tq: int = 64):
-    # tq=64: the recompute chains keep ~15 live [tq*k, F] buffers on the
-    # Mosaic stack; tq=128 overflows the 16MB scoped-vmem limit at F=128.
-    """Three-pass fused backward. Returns (d_params, d_ee)."""
+                              eps: float = 1e-5, tq: int = 1024, cs: int = 256):
+    """Three-sweep fused backward (chunked). Returns (d_params, d_ee)."""
     B, N, kk, C2 = ee.shape
     C = C2 // 2
     F = params["conv_w2"]["kernel"].shape[1]
     F2 = params["conv_w1"]["kernel"].shape[1]
     M = B * N * kk
-    while N % tq:
-        tq //= 2
+    tq, cs = _pick_tiles(N, tq, cs)
     grid = (B, N // tq)
-    ee32 = ee.astype(jnp.float32)
-    d_out32 = d_out.astype(jnp.float32)
+    nch = tq // cs
+    cd = jnp.bfloat16 if ee.dtype == jnp.bfloat16 else jnp.float32
+    d_out4 = d_out.astype(jnp.float32).reshape(B, N // cs, cs, F)
 
     w1 = params["conv_w1"]["kernel"].astype(jnp.float32)
     w2 = params["conv_w2"]["kernel"].astype(jnp.float32)
@@ -380,41 +440,43 @@ def edge_block_train_backward(params: Dict, ee: jax.Array, stats: Dict,
                                      memory_space=pltpu.VMEM)
     ee_spec = pl.BlockSpec((1, tq, kk, C2), lambda b, t: (b, t, 0, 0),
                            memory_space=pltpu.VMEM)
-    dout_spec = pl.BlockSpec((1, tq, F), lambda b, t: (b, t, 0),
+    dout_spec = pl.BlockSpec((1, nch, cs, F), lambda b, t: (b, t, 0, 0),
                              memory_space=pltpu.VMEM)
     common_in = [ee_spec, dout_spec, full(w1), full(a1), full(w2), full(a2),
                  full(wx), full(ax), full(gb2x), full(wout)]
-    common_args = (ee32, d_out32, w1, a1, w2, a2, wx, ax, gb2x, wout)
+    common_args = (ee, d_out4, w1, a1, w2, a2, wx, ax, gb2x, wout)
+    dims = dict(tq=tq, cs=cs, k=k, c=C, f=F, neg=neg, cd=cd)
 
     sums, d_wout, d_bout = pl.pallas_call(
-        functools.partial(_bwd_pass1_kernel, tq=tq, k=k, c=C, f=F, neg=neg),
+        functools.partial(_bwd_pass1_kernel, **dims),
         grid=grid,
         in_specs=common_in,
         out_specs=(acc((1, 4, F)), acc((kk, F, F)), acc((1, F))),
         out_shape=(jax.ShapeDtypeStruct((1, 4, F), jnp.float32),
                    jax.ShapeDtypeStruct((kk, F, F), jnp.float32),
                    jax.ShapeDtypeStruct((1, F), jnp.float32)),
+        compiler_params=_CPARAMS,
     )(*common_args)
 
     s1, d_w2 = pl.pallas_call(
-        functools.partial(_bwd_pass2_kernel, tq=tq, k=k, c=C, f=F, f2=F2,
-                          m=M, neg=neg),
+        functools.partial(_bwd_pass2_kernel, f2=F2, m=M, **dims),
         grid=grid,
         in_specs=common_in + [full(sums), full(gb1)],
         out_specs=(acc((1, 2, F2)), acc((F2, F))),
         out_shape=(jax.ShapeDtypeStruct((1, 2, F2), jnp.float32),
                    jax.ShapeDtypeStruct((F2, F), jnp.float32)),
+        compiler_params=_CPARAMS,
     )(*common_args, sums, gb1)
 
     d_ee, d_w1, d_wx = pl.pallas_call(
-        functools.partial(_bwd_pass3_kernel, tq=tq, k=k, c=C, f=F, f2=F2,
-                          m=M, neg=neg),
+        functools.partial(_bwd_pass3_kernel, f2=F2, m=M, **dims),
         grid=grid,
         in_specs=common_in + [full(sums), full(gb1), full(s1)],
         out_specs=(ee_spec, acc((C, F2)), acc((C2, F))),
-        out_shape=(jax.ShapeDtypeStruct((B, N, kk, C2), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, N, kk, C2), ee.dtype),
                    jax.ShapeDtypeStruct((C, F2), jnp.float32),
                    jax.ShapeDtypeStruct((C2, F), jnp.float32)),
+        compiler_params=_CPARAMS,
     )(*common_args, sums, gb1, s1)
 
     zeros = jnp.zeros
@@ -429,7 +491,7 @@ def edge_block_train_backward(params: Dict, ee: jax.Array, stats: Dict,
         "bn_w2": {"scale": sums[0, 1], "bias": sums[0, 0]},
         "bn_x": {"scale": sums[0, 3], "bias": sums[0, 2]},
     }
-    return d_params, d_ee.astype(ee.dtype)
+    return d_params, d_ee
 
 
 # ------------------------------------------------------------------ API
@@ -458,7 +520,7 @@ def _feb_bwd(k, neg, eps, res, g):
     # cast param grads to the param dtypes
     d_params = jax.tree.map(lambda gg, p: gg.astype(p.dtype), d_params,
                             params)
-    return d_params, d_ee
+    return d_params, d_ee.astype(ee.dtype)
 
 
 fused_edge_block.defvjp(_feb_fwd, _feb_bwd)

@@ -16,10 +16,11 @@ Data parallelism: call via jit with the batch sharded over the mesh's `data`
 axis and the state replicated — XLA GSPMD inserts the gradient all-reduces
 (the TPU equivalent of DataParallel, SURVEY.md §2.4). Because GSPMD keeps
 full-array semantics, BatchNorm's batch statistics are *global* across
-shards automatically — i.e. the synchronized-BN behavior the reference's
+shards by default — i.e. the synchronized-BN behavior the reference's
 vendored-but-unwired sync_bn was for (SURVEY.md §2.4 row 2), obtained for
-free; the reference's live DataParallel computed per-replica stats instead
-(an eval-time-only difference).
+free. The reference's live DataParallel computed per-replica stats instead;
+`cfg.bn_stats="per_shard"` reproduces that exactly (SPBatchNorm groups —
+see nn/layers.py; distinguished numerically in tests/test_bn_semantics.py).
 """
 
 from __future__ import annotations

@@ -52,7 +52,7 @@ class Trainer:
         else:
             try:
                 self.dataset = H5Dataset(cfg.data_root, cfg.choice, cfg.np,
-                                         cfg.scale)
+                                         cfg.scale, cls=cfg.cls, con=cfg.con)
             except (FileNotFoundError, OSError) as e:
                 self.log(f"H5 data unavailable ({e}); using synthetic data")
                 self.dataset = SyntheticDataset(n_points=cfg.np)
@@ -179,6 +179,15 @@ class Trainer:
                         g_meter.update(float(m["g_loss"]))
                         ra_meter.update(float(m["real_acc"]))
                         fa_meter.update(float(m["fake_acc"]))
+                if d_meter.count == 0 and metrics is not None:
+                    # short epochs (< log_every steps) never hit the gated
+                    # meter update; fold in the final step so the epoch
+                    # summary reports real numbers
+                    m = jax.device_get(metrics)
+                    d_meter.update(float(m["d_loss"]))
+                    g_meter.update(float(m["g_loss"]))
+                    ra_meter.update(float(m["real_acc"]))
+                    fa_meter.update(float(m["fake_acc"]))
                 dt = time.time() - t_start
                 self.log("Epoch: [%2d] time: %2dm %2ds d_loss: %.8f, "
                          "g_loss: %.8f" % (epoch, dt / 60, dt % 60,
@@ -213,6 +222,12 @@ class Trainer:
                     ra_meter.update(float(m["real_acc"]))
                     fa_meter.update(float(m["fake_acc"]))
 
+            if d_meter.count == 0 and metrics is not None:
+                m = jax.device_get(metrics)
+                d_meter.update(float(m["d_loss"]))
+                g_meter.update(float(m["g_loss"]))
+                ra_meter.update(float(m["real_acc"]))
+                fa_meter.update(float(m["fake_acc"]))
             dt = time.time() - t_start
             self.log("Epoch: [%2d] time: %2dm %2ds d_loss: %.8f, g_loss: %.8f"
                      % (epoch, dt / 60, dt % 60, d_meter.avg, g_meter.avg))

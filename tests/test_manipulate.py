@@ -116,6 +116,58 @@ class TestManipulator:
         pcs = man.part_exchange(mask, 0, 1)
         assert pcs.shape == (4, 32, 3)
 
+    def test_style_interpolate(self, man):
+        """Style-space blending (Generator.py:216-232): alpha=0 reproduces
+        shape A exactly; alpha=1 inside a full mask reproduces shape B."""
+        mask = np.ones(32, np.int32)
+        pcs = man.style_interpolate(mask, 0, 1, steps=3)
+        assert pcs.shape == (3, 32, 3)
+        za = man.sample_codes(1, 0)
+        zb = man.sample_codes(1, 1)
+        # jitted reference (style_interpolate is jitted; an eager G.apply
+        # truncates the mixed_edge bf16 chain per-op while XLA keeps excess
+        # precision under jit, so eager-vs-jit differs at ~1e-2)
+        import jax as _jax
+        fwd = _jax.jit(lambda v, x, z: man.G.apply(v, x, z, train=False))
+        a_ref = np.asarray(fwd(man.variables, man.sphere[None], za))
+        b_ref = np.asarray(fwd(man.variables, man.sphere[None], zb))
+        np.testing.assert_allclose(pcs[0], a_ref[0], atol=1e-5)
+        np.testing.assert_allclose(pcs[-1], b_ref[0], atol=1e-5)
+        # partial mask at alpha=1 differs from both endpoints
+        part = man.style_interpolate(half_space_mask(man.ball), 0, 1, steps=2)
+        assert np.abs(part[1] - a_ref[0]).max() > 1e-5
+        assert np.abs(part[1] - b_ref[0]).max() > 1e-5
+
+    def test_part_interpolate_detail(self, man):
+        shape_row, grid, masks = man.part_interpolate_detail(
+            0, 1, alphas=(1.0, 0.5, 0.0), mask_sizes=(0, 16, 32),
+            normalize=False)
+        assert shape_row.shape == (3, 32, 3)
+        assert grid.shape == (3, 3, 32, 3)
+        assert masks.shape == (3, 32)
+        np.testing.assert_array_equal(masks.sum(1), [0, 16, 32])
+        # alpha=1 weights code A fully -> every mask column equals pure A;
+        # mask_size=0 rows never blend -> also pure A
+        base = grid[0, 0]
+        for j in range(3):
+            np.testing.assert_allclose(grid[0, j], base, atol=1e-6)
+        np.testing.assert_allclose(grid[1, 0], base, atol=1e-6)
+        np.testing.assert_allclose(grid[2, 0], base, atol=1e-6)
+        # full-mask alpha=0 row equals pure B = shape_row alpha=0 entry
+        np.testing.assert_allclose(grid[2, 2], shape_row[2], atol=1e-5)
+
+    def test_sample_codes_follow_n_rand(self):
+        cfg = Config(np=16, nk=8, nz=8, n_rand=True)
+        from sp_gan_tpu.nn import Generator
+        import jax.numpy as jnp
+        G = Generator(cfg)
+        gv = G.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 3)),
+                    jnp.zeros((1, 16, 8)), train=True)
+        m = Manipulator(cfg, gv["params"], gv["batch_stats"])
+        z = np.asarray(m.sample_codes(2, 0))
+        # per-point iid: rows differ within a shape (model.py:125-131)
+        assert np.abs(z[0, 0] - z[0, 1]).max() > 1e-6
+
     def test_same_z_same_shape(self, man):
         """Determinism of the eval-mode forward over the fixed sphere."""
         a = man.shape_interpolate(0, 1, steps=2)

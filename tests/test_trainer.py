@@ -55,6 +55,29 @@ class TestTrainer:
         state = tr.train()
         assert int(state.step) == 2
 
+    def test_con_cls_wiring(self, tmp_path):
+        """--con --cls 3 reaches H5Dataset: chair+table+bench concatenated
+        (reference H5DataLoader.py:47-60)."""
+        import h5py
+        d = tmp_path / "32"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for cat in ("chair", "table", "bench"):
+            with h5py.File(str(d / f"{cat}.h5"), "w") as f:
+                f["poisson_32"] = rng.standard_normal((4, 32, 3)).astype(
+                    np.float32)
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, con=True, cls=3,
+                     data_root=str(tmp_path), log_dir=str(tmp_path / "run"),
+                     donate_state=False)
+        tr = Trainer(cfg)
+        assert len(tr.dataset) == 12
+        assert tr.dataset.labels is not None
+        np.testing.assert_array_equal(np.unique(tr.dataset.labels), [0, 1, 2])
+        # CLI spelling parses too
+        from sp_gan_tpu.config import parse_args
+        c = parse_args(["--con", "--cls", "3"])
+        assert c.con and c.cls == 3
+
     def test_config_json_roundtrip(self, cfg):
         s = cfg.to_json()
         c2 = Config.from_json(s)
