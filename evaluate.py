@@ -23,6 +23,10 @@ def main():
     p.add_argument("--fpd", action="store_true", help="include FPD (random-"
                    "feature unless --fpd_stats trained stats are given)")
     p.add_argument("--fpd_stats", default=None)
+    p.add_argument("--fpd_weights", default=None,
+                   help="reference-protocol DGCNN classifier weights "
+                        "(Classify_dgcnn_cls_k40_1024_b32.pkl) for "
+                        "checkpoint-comparable FPD")
     args = p.parse_args()
 
     from sp_gan_tpu.utils import enable_compile_cache
@@ -54,7 +58,8 @@ def main():
     metrics = compute_all_metrics(gen[:n], ref[:n], normalize=args.normalize,
                                   use_emd=args.emd)
     if args.fpd:
-        fpd = FPD()
+        fpd = (FPD.from_torch(args.fpd_weights) if args.fpd_weights
+               else FPD())
         metrics["FPD"] = fpd(gen[:n], ref[:n] if not args.fpd_stats else None,
                              stats_path=args.fpd_stats)
         if fpd.random_features:

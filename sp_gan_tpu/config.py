@@ -76,12 +76,17 @@ class Config:
     seed: int = 123                    # reference seeds torch with 123 (model.py:38-41)
 
     # --- TPU-native knobs (no reference equivalent) ---
-    dtype: str = "mixed_edge"          # {mixed_edge, float32, bfloat16}:
+    dtype: str = "mixed_edge"          # {mixed_edge, float32, bfloat16,
+                                       #  bfloat16_g, bfloat16_d,
+                                       #  bfloat16_tail32}:
                                        # mixed_edge = bf16 only inside the
                                        # EdgeBlocks' [B,N,k,*] tensors (f32
                                        # trunk/norms/grads) — 1.2x faster with
                                        # probe quality equal to f32; bfloat16
-                                       # (whole model) degrades GAN balance
+                                       # (whole model) degrades GAN balance;
+                                       # _g/_d restrict bf16 to one network,
+                                       # _tail32 keeps G's output MLP f32
+                                       # (bf16 stability study, VERDICT r1 #6)
     remat: bool = False                # rematerialize EdgeBlocks in the backward
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)
@@ -109,13 +114,31 @@ class Config:
         if self.bn_stats not in ("global", "per_shard"):
             raise ValueError(f"bn_stats must be global|per_shard, "
                              f"got {self.bn_stats!r}")
-        if self.dtype not in ("mixed_edge", "float32", "bfloat16"):
-            raise ValueError(f"dtype must be mixed_edge|float32|bfloat16, "
+        allowed = ("mixed_edge", "float32", "bfloat16", "bfloat16_g",
+                   "bfloat16_d", "bfloat16_tail32")
+        if self.dtype not in allowed:
+            raise ValueError(f"dtype must be one of {allowed}, "
                              f"got {self.dtype!r}")
 
     @property
     def n_points(self) -> int:
         return self.np
+
+    @property
+    def g_bf16(self) -> bool:
+        """Generator trunk/head compute in bf16."""
+        return self.dtype in ("bfloat16", "bfloat16_g", "bfloat16_tail32")
+
+    @property
+    def d_bf16(self) -> bool:
+        """Discriminator trunk compute in bf16 (its FC head is always f32)."""
+        return self.dtype in ("bfloat16", "bfloat16_d", "bfloat16_tail32")
+
+    @property
+    def g_tail_f32(self) -> bool:
+        """Force the generator's output MLP (tail) to f32 under bf16 — the
+        tanh'd coordinates otherwise quantize to bf16's ~0.004 grid."""
+        return self.dtype == "bfloat16_tail32"
 
     @property
     def bn_groups(self) -> int:

@@ -24,7 +24,7 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         """x: [B, N, 3] -> logits [B, 1] (always float32)."""
-        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        dtype = jnp.bfloat16 if self.cfg.d_bf16 else jnp.float32
         bn = lambda name, v: SPBatchNorm(
             name=name, groups=self.cfg.bn_groups)(v, train=train)
 

@@ -46,8 +46,11 @@ def _adain(p: Dict, x, style):
 
 def supports_fused(cfg: Config) -> bool:
     # per-shard BN stats (cfg.bn_stats) are not implemented by the fused
-    # kernels — they compute/fold global batch statistics
-    return not (cfg.eql or cfg.attn or cfg.use_head or cfg.bn_groups > 1)
+    # kernels — they compute/fold global batch statistics; the bf16 stability
+    # sub-modes (_g/_d/_tail32) fall back to the flax graph
+    return not (cfg.eql or cfg.attn or cfg.use_head or cfg.bn_groups > 1
+                or cfg.dtype in ("bfloat16_g", "bfloat16_d",
+                                 "bfloat16_tail32"))
 
 
 def generator_forward_eval(cfg: Config, variables: Dict, x: jax.Array,

@@ -69,6 +69,41 @@ def _ra(old, batch):
     }
 
 
+def _edge_block_xla(params: Dict, ee: jax.Array, k: int,
+                    neg: float = 0.01, eps: float = 1e-5):
+    """Plain-XLA train-mode EdgeBlock on the edge tensor (same math as
+    nn.layers.EdgeBlock). Used for blocks whose channel width is too small
+    for the Pallas sweeps to be efficient: edge1's [B,N,k,6] tensor pads its
+    6-wide lane dim to 128 in VMEM, making the fused kernels cost as much as
+    edge2's [B,N,k,128] (trace-verified, BASELINE.md r2) while XLA handles
+    the 20x-smaller tensor fine. Returns (out, stats) like fused_edge_block."""
+    C = ee.shape[-1] // 2
+    f32 = jnp.float32
+
+    def bn_train(p, h):
+        hf = h.astype(f32)
+        mean = jnp.mean(hf, axis=(0, 1, 2))
+        var = jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean
+        y = (hf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+        return y.astype(h.dtype), (mean, var)
+
+    lrelu = lambda v: jnp.where(v >= 0, v, neg * v)
+    stats = {}
+    w1 = _dense(params["conv_w1"], ee[..., C:])
+    w1, stats["bn_w1"] = bn_train(params["bn_w1"], w1)
+    w1 = lrelu(w1)
+    w2 = _dense(params["conv_w2"], w1)
+    w2, stats["bn_w2"] = bn_train(params["bn_w2"], w2)
+    w = jax.nn.softmax(lrelu(w2), axis=2)
+    v = _dense(params["conv_x"], ee)
+    v, stats["bn_x"] = bn_train(params["bn_x"], v)
+    v = lrelu(v) * w
+    out = jnp.einsum("bnkc,kco->bno", v,
+                     params["out_kernel"].astype(v.dtype))
+    out = out + params["out_bias"].astype(out.dtype)
+    return out, stats
+
+
 def generator_forward_train(
     cfg: Config,
     params: Dict,
@@ -96,11 +131,15 @@ def generator_forward_train(
             # mirror EdgeBlock(mixed=True): kNN selection in f32, the big
             # [B,N,k,*] edge tensors and the fused kernels' matmuls in bf16
             if idx is None:
-                from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
-                idx = knn_dispatch(inp, k)
-            inp = inp.astype(jnp.bfloat16)
-        ee = edge_features(inp, k, idx=idx)
-        out, stats = fused_edge_block(params[name], ee, k, NEG)
+                ee = edge_features(inp, k, out_dtype=jnp.bfloat16)
+            else:
+                ee = edge_features(inp.astype(jnp.bfloat16), k, idx=idx)
+        else:
+            ee = edge_features(inp, k, idx=idx)
+        if inp.shape[-1] * 2 >= 64:
+            out, stats = fused_edge_block(params[name], ee, k, NEG)
+        else:
+            out, stats = _edge_block_xla(params[name], ee, k, NEG)
         new_stats[name] = {
             bn: _ra(batch_stats[name][bn], stats[bn]) for bn in stats}
         return out.astype(jnp.float32)

@@ -63,7 +63,7 @@ class Generator(nn.Module):
         Dense = make_dense(cfg.eql)
         dim = 128
         k = cfg.nk // 2
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dtype = jnp.bfloat16 if cfg.g_bf16 else jnp.float32
 
         x = x.astype(dtype)
 
@@ -140,6 +140,8 @@ class Generator(nn.Module):
             feat_cat = Attention(512 + dim, name="attn")(feat_cat)
 
         # --- tail (always plain conv in the reference) ---
+        if cfg.g_tail_f32:
+            feat_cat = feat_cat.astype(jnp.float32)
         out = nn.leaky_relu(TorchDense(256, name="tail1")(feat_cat), NEG)
         out = nn.leaky_relu(TorchDense(64, name="tail2")(out), NEG)
         out = jnp.tanh(TorchDense(3, name="tail3")(out))

@@ -219,13 +219,15 @@ class EdgeBlock(nn.Module):
         assert C == self.fin
         out_dtype = x.dtype
         if self.mixed:
-            # kNN selection stays f32 inside the dispatch; only the big
-            # [B,N,k,*] edge tensors and their convs run bf16
-            from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
+            # kNN selection stays f32 (inside the fused kNN+gather sweep or
+            # the dispatch); only the big [B,N,k,*] edge tensors and their
+            # convs run bf16
             if idx is None:
-                idx = knn_dispatch(x, self.k)
-            x = x.astype(jnp.bfloat16)
-        ee = edge_features(x, self.k, idx=idx)               # [B, N, k, 2C]
+                ee = edge_features(x, self.k, out_dtype=jnp.bfloat16)
+            else:
+                ee = edge_features(x.astype(jnp.bfloat16), self.k, idx=idx)
+        else:
+            ee = edge_features(x, self.k, idx=idx)           # [B, N, k, 2C]
         # named residual: the policy-remat path saves only this tensor and
         # recomputes the conv/BN/softmax chains in the backward (avoids both
         # re-running the kNN+gather and storing the chain intermediates)

@@ -13,6 +13,7 @@ same content split: [..., :C] = central point, [..., C:] = neighbor - central.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -52,38 +53,86 @@ def _gather_fwd(x, idx):
     return _gather(x, idx), (x, idx)
 
 
-def _gather_bwd(res, g):
-    x, idx = res
-    B, N, C = x.shape
-    k = idx.shape[-1]
-    flat = idx.reshape(B, N * k)
-    gf = g.reshape(B, N * k, C)
-    # one-hot contraction (entries exact in bf16; f32 accumulation). Beats
-    # both TPU scatter (serializes on clustered kNN duplicates) and a pallas
-    # scatter-matmul kernel at training sizes (measured 53.9 vs 55.4 ms/step).
-    if B * N * k * N * g.dtype.itemsize <= (1 << 30):
-        onehot = jax.nn.one_hot(flat, N, dtype=g.dtype, axis=-1)  # [B,Nk,N]
-        return jnp.einsum("bsn,bsc->bnc", onehot, gf), None
-    # large case: the one-hot would exceed ~1GB; use the VMEM-tiled pallas
-    # scatter-matmul (TPU) or a lax.map-tiled one-hot (CPU).
+def scatter_rows(g: jax.Array, idx: jax.Array, N: int,
+                 out_dtype=None) -> jax.Array:
+    """Transposed gather: out[b, n] = sum_{s: idx[b,s]=n} g[b, s].
+
+    g: [B, S, C], idx: [B, S] int -> [B, N, C]. One-hot contraction (entries
+    exact in bf16; f32 accumulation) — beats TPU scatter, which serializes on
+    the clustered duplicate targets a kNN graph produces; VMEM-tiled pallas
+    scatter-matmul above the ~1GB one-hot size."""
+    B, S, C = g.shape
+    out_dtype = out_dtype or g.dtype
+    if B * S * N * g.dtype.itemsize <= (1 << 30):
+        onehot = jax.nn.one_hot(idx, N, dtype=g.dtype, axis=-1)  # [B,S,N]
+        return jnp.einsum("bsn,bsc->bnc", onehot, g).astype(out_dtype)
     from sp_gan_tpu.ops.dispatch import pallas_enabled
     if pallas_enabled():
         from sp_gan_tpu.ops.pallas.scatter import scatter_add_pallas
-        return scatter_add_pallas(gf, flat, N).astype(x.dtype), None
+        return scatter_add_pallas(g, idx, N).astype(out_dtype)
     T = 256
     while N % T:
         T //= 2
 
     def chunk(t0):
         cols = t0 + jnp.arange(T)
-        oh = (flat[..., None] == cols[None, None, :]).astype(g.dtype)
-        return jnp.einsum("bst,bsc->btc", oh, gf)      # [B, T, C]
+        oh = (idx[..., None] == cols[None, None, :]).astype(g.dtype)
+        return jnp.einsum("bst,bsc->btc", oh, g)       # [B, T, C]
 
     parts = jax.lax.map(chunk, jnp.arange(0, N, T))    # [N/T, B, T, C]
-    return parts.transpose(1, 0, 2, 3).reshape(B, N, C), None
+    return parts.transpose(1, 0, 2, 3).reshape(B, N, C).astype(out_dtype)
+
+
+def _gather_bwd(res, g):
+    x, idx = res
+    B, N, C = x.shape
+    k = idx.shape[-1]
+    return scatter_rows(g.reshape(B, N * k, C), idx.reshape(B, N * k),
+                        N, out_dtype=x.dtype), None
 
 
 gather_neighbors.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ------------------------------------------------------------------
+# Fused kNN + gather + edge features (TPU): one Pallas sweep emits the edge
+# tensor straight from the distance tiles — no [B,N,k,C] XLA gather (which
+# runs at ~2% HBM bandwidth) and no idx round trip. VERDICT r1 #2.
+def _use_fused_knn_edge(x: jax.Array) -> bool:
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
+    B, N, C = x.shape
+    return (pallas_enabled() and N % 8 == 0
+            and N * C * 4 <= (8 << 20)   # keys block must sit in VMEM
+            and C >= 16)                 # tiny-C tensors are faster in XLA
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _knn_edge(x: jax.Array, k: int, out_dtype):
+    from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+    return knn_edge_pallas(x, k, out_dtype)
+
+
+def _knn_edge_fwd(x, k, out_dtype):
+    ee, idx = _knn_edge(x, k, out_dtype)
+    # residuals must be jax types: a size-0 probe carries x's shape/dtype
+    return (ee, idx), (idx, jnp.zeros((0,) + x.shape, x.dtype))
+
+
+def _knn_edge_bwd(k, out_dtype, res, g):
+    idx, probe = res
+    xshape, xdtype = probe.shape[1:], probe.dtype
+    d_ee, _ = g
+    B, N, C = xshape
+    # ee = [central, nbr - central]: central collects sum_j(d[..., :C] -
+    # d[..., C:]) at its own row; the neighbor half scatters through idx.
+    # (kNN index selection itself is piecewise-constant: no gradient.)
+    d_central = jnp.sum(d_ee[..., :C] - d_ee[..., C:], axis=2)
+    d_nbr = d_ee[..., C:].reshape(B, N * k, C)
+    d_x = d_central + scatter_rows(d_nbr, idx.reshape(B, N * k), N)
+    return (d_x.astype(xdtype),)
+
+
+_knn_edge.defvjp(_knn_edge_fwd, _knn_edge_bwd)
 
 
 def edge_features(
@@ -91,15 +140,24 @@ def edge_features(
     k: int,
     idx: Optional[jax.Array] = None,
     return_idx: bool = False,
+    out_dtype=None,
 ):
     """[B, N, C] -> [B, N, k, 2C] edge features: concat[central, nbr - central].
 
     Mirrors reference `get_edge_features` (`modules.py:683-725`) including
-    self-exclusion from the kNN set.
+    self-exclusion from the kNN set. With idx=None on TPU the kNN selection,
+    gather and edge construction run as ONE Pallas sweep (selection always
+    f32); `out_dtype` casts the edge tensor (mixed_edge passes bf16 while
+    keeping f32-coordinate neighbor selection).
     """
+    if idx is None and _use_fused_knn_edge(x):
+        ee, idx = _knn_edge(x, k, jnp.dtype(out_dtype or x.dtype).name)
+        return (ee, idx) if return_idx else ee
     if idx is None:
         from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
         idx = knn_dispatch(x, k)
+    if out_dtype is not None:
+        x = x.astype(out_dtype)
     nbrs = gather_neighbors(x, idx)                            # [B, N, k, C]
     central = jnp.broadcast_to(x[:, :, None, :], nbrs.shape)   # [B, N, k, C]
     ee = jnp.concatenate([central, nbrs - central], axis=-1)   # [B, N, k, 2C]

@@ -55,6 +55,91 @@ def _knn_kernel(x_ref, idx_ref, dist_ref, *, k: int, tq: int, n: int):
     lax.fori_loop(0, k, body, dist, unroll=True)
 
 
+def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
+                     c: int, cd):
+    """kNN selection + neighbor gather + edge-feature construction in one
+    sweep: the per-round argmin's one-hot mask doubles as the gather matrix
+    (one-hot @ keys on the MXU — entries exactly 1.0, so the gather is
+    exact in any dtype). Kills the separate XLA gather, which ran at ~2%
+    HBM bandwidth (~12 ms/step of the r1 default, trace-verified)."""
+    q = pl.program_id(1)
+    keys_raw = x_ref[0]                                     # [N, C] x.dtype
+    queries_raw = x_ref[0, pl.ds(q * tq, tq), :]
+    keys = keys_raw.astype(jnp.float32)
+    queries = queries_raw.astype(jnp.float32)
+
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    kn = jnp.sum(keys * keys, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        queries, keys, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    dist = qn - 2.0 * cross + kn.T                          # [TQ, N]
+
+    row_ids = q * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
+    dist = jnp.where(row_ids == col_ids, jnp.inf, dist)
+
+    keys_cd = keys_raw.astype(cd)
+    central = queries_raw.astype(cd)
+    # one-hot gathers are exact at HIGH (bf16_3x: out = 1.0*hi(v) +
+    # 1.0*lo(v) = v); HIGHEST would double the pass count for nothing
+    prec = (jax.lax.Precision.DEFAULT if cd == jnp.bfloat16
+            else jax.lax.Precision.HIGH)
+    for j in range(k):
+        a = jnp.argmin(dist, axis=1).astype(jnp.int32)      # [TQ]
+        oh = col_ids == a[:, None]                          # [TQ, N]
+        nbr = jax.lax.dot_general(
+            oh.astype(cd), keys_cd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(cd)                      # [TQ, C]
+        idx_ref[0, :, j] = a
+        ee_ref[0, :, j, :] = jnp.concatenate(
+            [central, nbr - central], axis=-1)
+        dist = jnp.where(oh, jnp.inf, dist)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "out_dtype"))
+def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256):
+    """x: [B, N, C] -> (ee [B, N, k, 2C] in out_dtype (default x.dtype),
+    idx [B, N, k] int32). Fused kNN (self-excluded, ascending) + edge
+    features [central, nbr - central] — see `_knn_edge_kernel`.
+
+    The distance selection always runs in f32 regardless of out_dtype, so a
+    bf16 edge tensor (mixed_edge) keeps f32-exact neighbor choice."""
+    B, N, C = x.shape
+    cd = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    if N > 8192:
+        tq = 8
+    while N % tq:
+        tq //= 2
+    grid = (B, N // tq)
+    kernel = functools.partial(_knn_edge_kernel, k=k, tq=tq, n=N, c=C, cd=cd)
+    ee, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, N, C), lambda b, q: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, tq, k, 2 * C), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, k, 2 * C), cd),
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * N * C * (1 + k // 4), transcendentals=0,
+            bytes_accessed=B * N * C * 4 * (N // tq)
+            + B * N * k * (2 * C * cd.itemsize + 4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x)
+    return ee, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tq"))
 def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     """x: [B, N, C] -> (idx [B, N, k] int32, dist [B, N, k]).

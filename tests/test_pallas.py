@@ -130,3 +130,63 @@ class TestKnnGrad:
             g = jax.grad(loss)(x)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.any(np.asarray(g) != 0)
+
+
+class TestKnnEdgeFused:
+    """Fused kNN+gather+edge-features sweep (VERDICT r1 #2) vs the XLA path."""
+
+    def _setup(self, dtype=jnp.float32):
+        key = jax.random.PRNGKey(7)
+        x = jax.random.normal(key, (2, 128, 64), jnp.float32)
+        return x, 6
+
+    def test_forward_matches_xla(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+        from sp_gan_tpu.ops.edge import edge_features
+        from sp_gan_tpu.ops.pairwise import knn_indices
+        x, k = self._setup()
+        idx_ref = knn_indices(x, k)
+        ee_ref = edge_features(x, k, idx=idx_ref)
+        with pltpu.force_tpu_interpret_mode():
+            ee, idx = knn_edge_pallas(x, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        np.testing.assert_allclose(np.asarray(ee), np.asarray(ee_ref),
+                                   atol=1e-6)
+
+    def test_bf16_out_keeps_f32_selection(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+        from sp_gan_tpu.ops.pairwise import knn_indices
+        x, k = self._setup()
+        idx_ref = knn_indices(x, k)
+        with pltpu.force_tpu_interpret_mode():
+            ee, idx = knn_edge_pallas(x, k, out_dtype="bfloat16")
+        assert ee.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        # gather through the one-hot matmul is exact: values are the bf16
+        # cast of the true neighbors
+        nbr = np.asarray(ee[..., 64:] + ee[..., :64], np.float32)
+        true = np.asarray(jax.vmap(lambda xx, ii: xx[ii])(
+            x.astype(jnp.bfloat16), idx), np.float32)
+        np.testing.assert_allclose(nbr, true, atol=2e-2)
+
+    def test_custom_vjp_matches_autodiff(self):
+        """d_x through _knn_edge == autodiff of the XLA gather construction
+        (same fixed indices)."""
+        from sp_gan_tpu.ops import edge as edge_mod
+        x, k = self._setup()
+        cot = jax.random.normal(jax.random.PRNGKey(9), (2, 128, k, 128))
+        idx = edge_mod.knn_indices(x, k)
+
+        def xla_loss(x):
+            return jnp.sum(edge_mod.edge_features(x, k, idx=idx) * cot)
+
+        g_ref = jax.grad(xla_loss)(x)
+        # drive the custom bwd directly with the same idx
+        (_, g_fused) = (None, None)
+        probe = jnp.zeros((0,) + x.shape, x.dtype)
+        d_x, = edge_mod._knn_edge_bwd(k, "float32", (idx, probe),
+                                      (cot, jnp.zeros_like(idx)))
+        np.testing.assert_allclose(np.asarray(d_x), np.asarray(g_ref),
+                                   rtol=2e-5, atol=2e-5)
