@@ -54,18 +54,21 @@ def main():
     steps_per_sec = iters / dt
     points_per_sec = steps_per_sec * BS * N
 
-    # secondary: CD / EMD evaluation throughput (BASELINE.json metric names)
+    # secondary: CD / EMD evaluation throughput at the metric-protocol sizes
+    # BASELINE.md quotes (96x96 CD matrix; EMD batch of 16 pairs)
     from sp_gan_tpu.eval.metrics import pairwise_cd_matrix
     from sp_gan_tpu.ops.emd import emd_auction
-    gen = batch[:16]
+    key = jax.random.PRNGKey(0)
+    clouds = jax.random.normal(key, (96, N, 3), jnp.float32)
     cd_fn = jax.jit(lambda a, b: pairwise_cd_matrix(a, b))
-    cd_fn(gen, gen).block_until_ready()
+    cd_fn(clouds, clouds).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(5):
-        r = cd_fn(gen, gen)
+    for _ in range(3):
+        r = cd_fn(clouds, clouds)
     jax.block_until_ready(r)
-    cd_evals_per_sec = 5 * gen.shape[0] * gen.shape[0] / (time.perf_counter() - t0)
+    cd_evals_per_sec = 3 * 96 * 96 / (time.perf_counter() - t0)
 
+    gen = batch[:16]
     emd_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.005, 50)[0])
     emd_fn(gen, gen).block_until_ready()
     t0 = time.perf_counter()
@@ -87,8 +90,8 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs, 3),
         "points_per_sec": round(points_per_sec),
-        "cd_evals_per_sec": round(cd_evals_per_sec, 1),
-        "emd_evals_per_sec": round(emd_evals_per_sec, 1),
+        "cd_evals_per_sec_96x96": round(cd_evals_per_sec, 1),
+        "emd_evals_per_sec_b16": round(emd_evals_per_sec, 1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -20,6 +20,10 @@ def main():
     p.add_argument("--ref", required=True, help=".npy/.h5 of reference clouds")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--emd", action="store_true", help="include EMD metrics")
+    p.add_argument("--emd_iters", type=int, default=10000,
+                   help="auction iterations (reference test regime: 10000 "
+                        "at eps=0.002; LOWER VALUES UNDERESTIMATE EMD — "
+                        "see BASELINE.md convergence table)")
     p.add_argument("--fpd", action="store_true", help="include FPD (random-"
                    "feature unless --fpd_stats trained stats are given)")
     p.add_argument("--fpd_stats", default=None)
@@ -56,7 +60,7 @@ def main():
 
     n = min(len(gen), len(ref))
     metrics = compute_all_metrics(gen[:n], ref[:n], normalize=args.normalize,
-                                  use_emd=args.emd)
+                                  use_emd=args.emd, emd_iters=args.emd_iters)
     if args.fpd:
         fpd = (FPD.from_torch(args.fpd_weights) if args.fpd_weights
                else FPD())

@@ -123,11 +123,19 @@ def compute_all_metrics(
     normalize: bool = False,
     use_emd: bool = False,
     emd_eps: float = 0.002,
-    emd_iters: int = 512,
+    emd_iters: int = 10000,
 ) -> Dict[str, float]:
     """The reference evaluation protocol (`compute_all_metrics2`,
     loss_utils.py:430-463): JSD + COV-CD + MMD-CD + 1NN-CD; optional EMD
-    variants (lgan protocol, loss_utils.py:398-426)."""
+    variants (lgan protocol, loss_utils.py:398-426).
+
+    EMD defaults match the reference TEST regime (eps=0.002 / 10000 iters,
+    metrics/emd/README.md:7-8) — the r2 convergence audit (BASELINE.md)
+    showed lower iteration counts systematically UNDERESTIMATE EMD (the
+    forced final assignment of an unconverged auction is not a valid
+    matching): -26% at 512 iters, -10% at 2000, -4% at 4000 on N=2048
+    shape pairs. Lower emd_iters only for smoke tests, never for reported
+    numbers."""
     from sp_gan_tpu.data.augment import normalize_point_cloud
 
     gen = jnp.asarray(sample_pcs)

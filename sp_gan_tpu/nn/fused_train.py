@@ -111,6 +111,7 @@ def generator_forward_train(
     x: jax.Array,
     z: jax.Array,
     edge1_idx: Optional[jax.Array] = None,
+    edge1_ee: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """x [B,N,3], z [B,N,nz] -> (out [B,N,3] f32, new_batch_stats)."""
     assert supports_fused(cfg), "flag combo not supported by the fused path"
@@ -126,8 +127,12 @@ def generator_forward_train(
 
     new_stats = dict(batch_stats)
 
-    def edge(name, inp, idx):
-        if cfg.dtype in ("mixed_edge", "bfloat16"):
+    def edge(name, inp, idx, ee=None):
+        mixed = cfg.dtype in ("mixed_edge", "bfloat16")
+        if ee is not None:
+            if mixed:
+                ee = ee.astype(jnp.bfloat16)
+        elif mixed:
             # mirror EdgeBlock(mixed=True): kNN selection in f32, the big
             # [B,N,k,*] edge tensors and the fused kernels' matmuls in bf16
             if idx is None:
@@ -144,7 +149,7 @@ def generator_forward_train(
             bn: _ra(batch_stats[name][bn], stats[bn]) for bn in stats}
         return out.astype(jnp.float32)
 
-    x1 = edge("edge1", x, edge1_idx)
+    x1 = edge("edge1", x, edge1_idx, edge1_ee)
     x1 = jnp.where(x1 >= 0, x1, NEG2 * x1)
     x1 = _adain(params["adain1"], x1, style)
 

@@ -46,7 +46,8 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x, z, train: bool = True, edge1_idx=None,
-                 z2=None, blend_mask=None, blend_alpha: float = 0.0):
+                 z2=None, blend_mask=None, blend_alpha: float = 0.0,
+                 edge1_ee=None):
         """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3].
 
         edge1_idx: optional precomputed kNN indices [B, N, k] for the first
@@ -113,7 +114,9 @@ class Generator(nn.Module):
             EB = functools.partial(EB, **eb_kwargs)
         if cfg.use_head:
             edge1_idx = None  # pc is a learned lift, not the template
-        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx)
+            edge1_ee = None
+        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx,
+                                                edge1_ee)
         x1 = nn.leaky_relu(x1, NEG2)
         x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
 

@@ -210,15 +210,21 @@ class EdgeBlock(nn.Module):
     bn_groups: int = 1    # per-shard BN stat groups (see SPBatchNorm)
 
     @nn.compact
-    def __call__(self, x, train: bool = True, idx=None):
-        """`idx` [B,N,k] optionally supplies precomputed kNN indices — used
-        for the generator's first EdgeConv, whose input is the *static*
-        sphere template (reference recomputes that kNN every forward;
-        the graph of a constant is constant)."""
+    def __call__(self, x, train: bool = True, idx=None, ee=None):
+        """`idx` [B,N,k] optionally supplies precomputed kNN indices, and
+        `ee` [B,N,k,2C] a fully precomputed edge tensor — used for the
+        generator's first EdgeConv, whose input is the *static* sphere
+        template: its kNN graph AND its gathered edge features are
+        run-constants (the reference recomputes both every forward,
+        modules.py:694-703; XLA's runtime gather of them cost 4 ms/step
+        before hoisting)."""
         B, N, C = x.shape
         assert C == self.fin
         out_dtype = x.dtype
-        if self.mixed:
+        if ee is not None:
+            if self.mixed:
+                ee = ee.astype(jnp.bfloat16)
+        elif self.mixed:
             # kNN selection stays f32 (inside the fused kNN+gather sweep or
             # the dispatch); only the big [B,N,k,*] edge tensors and their
             # convs run bf16

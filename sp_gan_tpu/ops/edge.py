@@ -102,6 +102,7 @@ def _use_fused_knn_edge(x: jax.Array) -> bool:
     from sp_gan_tpu.ops.dispatch import pallas_enabled
     B, N, C = x.shape
     return (pallas_enabled() and N % 8 == 0
+            and N <= 8192                # dense [TQ, N] dist tiles in VMEM
             and N * C * 4 <= (8 << 20)   # keys block must sit in VMEM
             and C >= 16)                 # tiny-C tensors are faster in XLA
 

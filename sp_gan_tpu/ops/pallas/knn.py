@@ -55,6 +55,96 @@ def _knn_kernel(x_ref, idx_ref, dist_ref, *, k: int, tq: int, n: int):
     lax.fori_loop(0, k, body, dist, unroll=True)
 
 
+def _knn_blocked_kernel(q_ref, key_ref, idx_ref, dist_ref, *, k: int,
+                        tq: int, cb: int):
+    """Large-N kNN: the grid's third axis walks [TQ, CB] key-blocks, the
+    revisited (idx, dist) output blocks hold the running top-k. VMEM stays
+    ~3 MB regardless of N (the dense [TQ, N] tile of the small-N kernel was
+    the round-1 N=20000 OOM)."""
+    q = pl.program_id(1)
+    kb = pl.program_id(2)
+    queries = q_ref[0].astype(jnp.float32)                  # [TQ, C]
+    keys = key_ref[0].astype(jnp.float32)                   # [CB, C]
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    kn = jnp.sum(keys * keys, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        queries, keys, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # [TQ, CB]
+    d = qn - 2.0 * cross + kn.T
+    row_ids = q * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, cb), 0)
+    cols = kb * cb + jax.lax.broadcasted_iota(jnp.int32, (tq, cb), 1)
+    d = jnp.where(row_ids == cols, jnp.inf, d)              # self-exclude
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, cb), 1)
+
+    vals = jnp.where(kb == 0, jnp.inf, dist_ref[0])         # [TQ, k]
+    idxs = jnp.where(kb == 0, 0, idx_ref[0])
+
+    # block-local top-k
+    bvals, bidxs = [], []
+    for j in range(k):
+        m = jnp.min(d, axis=1)
+        a = jnp.argmin(d, axis=1).astype(jnp.int32)
+        bvals.append(m[:, None])
+        bidxs.append((kb * cb + a)[:, None])
+        d = jnp.where(col_iota == a[:, None], jnp.inf, d)
+
+    # merge running k with block k over [TQ, 2k]
+    catv = jnp.concatenate([vals] + bvals, axis=1)          # [TQ, 2k]
+    cati = jnp.concatenate([idxs] + bidxs, axis=1)
+    iota2k = jax.lax.broadcasted_iota(jnp.int32, (tq, 2 * k), 1)
+    nvals, nidxs = [], []
+    for j in range(k):
+        m = jnp.min(catv, axis=1)
+        p = jnp.argmin(catv, axis=1).astype(jnp.int32)
+        sel = iota2k == p[:, None]
+        nvals.append(m[:, None])
+        nidxs.append(jnp.sum(jnp.where(sel, cati, 0), axis=1)[:, None])
+        catv = jnp.where(sel, jnp.inf, catv)
+    dist_ref[0] = jnp.concatenate(nvals, axis=1)
+    idx_ref[0] = jnp.concatenate(nidxs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "cb"))
+def knn_pallas_blocked(x: jax.Array, k: int, tq: int = 256, cb: int = 2048):
+    """Large-N kNN: x [B, N, C] -> (idx, dist) like `knn_pallas`, with
+    key-axis blocking (VERDICT r1 #10 — replaces the tq=8 fallback cliff)."""
+    x = x.astype(jnp.float32)
+    B, N, C = x.shape
+    while N % tq:
+        tq //= 2
+    cb = min(cb, N)
+    while N % cb:
+        cb //= 2
+    kernel = functools.partial(_knn_blocked_kernel, k=k, tq=tq, cb=cb)
+    idx, dist = pl.pallas_call(
+        kernel,
+        grid=(B, N // tq, N // cb),
+        in_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, q, kb: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, C), lambda b, q, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tq, k), lambda b, q, kb: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, k), lambda b, q, kb: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, N, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * N * C, transcendentals=0,
+            bytes_accessed=B * N * C * 4 * (N // tq) + B * N * k * 8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, x)
+    return idx, dist
+
+
 def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
                      c: int, cd):
     """kNN selection + neighbor gather + edge-feature construction in one
@@ -80,19 +170,32 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1)
     dist = jnp.where(row_ids == col_ids, jnp.inf, dist)
 
-    keys_cd = keys_raw.astype(cd)
     central = queries_raw.astype(cd)
-    # one-hot gathers are exact at HIGH (bf16_3x: out = 1.0*hi(v) +
-    # 1.0*lo(v) = v); HIGHEST would double the pass count for nothing
-    prec = (jax.lax.Precision.DEFAULT if cd == jnp.bfloat16
-            else jax.lax.Precision.HIGH)
+    bf16 = jnp.bfloat16
+    if cd == bf16:
+        key_parts = [keys_raw.astype(bf16)]
+    else:
+        # exact f32 gather from bf16 matmuls: v = hi + mid + lo with each
+        # part bf16 (8-bit mantissas covering f32's 24); the one-hot rows
+        # pick single values, so the sum reconstructs v exactly. Mosaic has
+        # no HIGH precision and HIGHEST (6-pass) costs 2x this.
+        hi = keys.astype(bf16)
+        r1 = keys - hi.astype(jnp.float32)
+        mid = r1.astype(bf16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(bf16)
+        key_parts = [hi, mid, lo]
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     for j in range(k):
         a = jnp.argmin(dist, axis=1).astype(jnp.int32)      # [TQ]
         oh = col_ids == a[:, None]                          # [TQ, N]
-        nbr = jax.lax.dot_general(
-            oh.astype(cd), keys_cd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).astype(cd)                      # [TQ, C]
+        ohb = oh.astype(bf16)
+        nbr = mm(ohb, key_parts[0])
+        for part in key_parts[1:]:
+            nbr += mm(ohb, part)
+        nbr = nbr.astype(cd)                                # [TQ, C]
         idx_ref[0, :, j] = a
         ee_ref[0, :, j, :] = jnp.concatenate(
             [central, nbr - central], axis=-1)
@@ -154,11 +257,10 @@ def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     # can't drive an fp32-precision MXU contraction in Mosaic
     x = x.astype(jnp.float32)
     B, N, C = x.shape
-    # VMEM ceiling: Mosaic's scoped-vmem accounting for the unrolled k-round
-    # selection is nonlinear (tq=256 compiles up to N=8192; N=20000 OOMs even
-    # at tq=32), so pin to measured-good tile sizes rather than a model.
     if N > 8192:
-        tq = 8
+        # dense [TQ, N] distance tiles stop fitting VMEM; switch to the
+        # key-blocked running-top-k kernel (VERDICT r1 #10)
+        return knn_pallas_blocked(x, k)
     if N % tq != 0:
         cand = tq
         while cand >= 1 and N % cand:

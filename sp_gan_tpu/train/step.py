@@ -56,12 +56,18 @@ def make_train_step(
     use_gp = cfg.gan == "wgan" and cfg.lambda_gp > 0
 
     # The sphere template is static for the whole run, so EdgeConv1's kNN
-    # graph is a constant — computed once here, not once per forward
-    # (the reference recomputes it every G call, modules.py:694-703).
+    # graph AND its gathered edge tensor are run-constants — computed once
+    # here, not once per forward (the reference recomputes both every G
+    # call, modules.py:694-703; XLA's runtime gather of the constant cost
+    # 4 ms/step before this hoist).
+    from sp_gan_tpu.ops.edge import edge_features
     from sp_gan_tpu.ops.pairwise import knn_indices
     template_idx = jax.device_get(
         knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
     template_idx = jnp.asarray(template_idx)                  # [N, k]
+    template_ee = jnp.asarray(jax.device_get(edge_features(
+        sphere[None].astype(jnp.float32), cfg.nk // 2,
+        idx=template_idx[None]))[0])                          # [N, k, 6]
 
     from sp_gan_tpu.nn.fused_eval import supports_fused
     from sp_gan_tpu.ops.dispatch import pallas_enabled
@@ -75,14 +81,15 @@ def make_train_step(
     def g_forward(g_params, g_stats, x, z, grad_needed=True):
         B = x.shape[0]
         idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
+        ee1 = jnp.broadcast_to(template_ee[None], (B,) + template_ee.shape)
         fused = use_fused_g or (use_fused_dphase and not grad_needed)
         if fused:
             from sp_gan_tpu.nn.fused_train import generator_forward_train
             out, new_stats = generator_forward_train(
-                cfg, g_params, g_stats, x, z, edge1_idx=idx)
+                cfg, g_params, g_stats, x, z, edge1_idx=idx, edge1_ee=ee1)
             return out, {"batch_stats": new_stats}
         return G.apply({"params": g_params, "batch_stats": g_stats},
-                       x, z, train=True, edge1_idx=idx,
+                       x, z, train=True, edge1_idx=idx, edge1_ee=ee1,
                        mutable=["batch_stats"])
 
     def d_forward(d_params, d_stats, pts):
