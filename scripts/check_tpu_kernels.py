@@ -45,6 +45,27 @@ def main():
         check(f"knn dist C={C}",
               bool(jnp.max(jnp.abs(dp - dx) / (dx + 1e-3)) < 5e-3))
 
+    # fused kNN+gather+edge features
+    from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas, knn_pallas_blocked
+    from sp_gan_tpu.ops.edge import edge_features as ef
+    x = jax.random.normal(key, (4, 2048, 64))
+    idx_ref = knn_indices(x, 10)
+    ee_ref = ef(x, 10, idx=idx_ref)
+    for dt, tol in (("float32", 1e-5), ("bfloat16", 1e-2)):
+        ee, idx = knn_edge_pallas(x, 10, dt)
+        check(f"knn_edge idx {dt}",
+              bool(jnp.mean((idx == idx_ref).astype(jnp.float32)) > 0.999))
+        rel = jnp.max(jnp.abs(ee.astype(jnp.float32)
+                              - ee_ref.astype(ee.dtype).astype(jnp.float32)))
+        check(f"knn_edge ee {dt}", bool(rel < tol))
+
+    # blocked large-N kNN
+    xb = jax.random.normal(key, (2, 16384, 3))
+    ib, db = knn_pallas_blocked(xb, 10)
+    ix2, dx2 = knn_indices(xb, 10, return_dists=True)
+    check("knn_blocked idx N=16384",
+          bool(jnp.mean((ib == ix2).astype(jnp.float32)) > 0.999))
+
     # Chamfer
     x = jax.random.normal(key, (4, 2048, 3))
     y = jax.random.normal(jax.random.PRNGKey(1), (4, 2048, 3))

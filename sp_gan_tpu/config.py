@@ -108,6 +108,10 @@ class Config:
                                        # Common/network_utils.py:58-69, made live)
     donate_state: bool = True          # donate train-state buffers to the jitted step
     log_every: int = 10                # steps between metric log lines
+    steps_per_call: int = 8            # train steps fused into one dispatch
+                                       # (lax.scan chunk) on the on-device
+                                       # data path — amortizes per-dispatch
+                                       # relay latency
     steps_per_epoch: Optional[int] = None  # override (for synthetic data / benchmarks)
 
     def __post_init__(self):

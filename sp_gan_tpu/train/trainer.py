@@ -102,14 +102,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _device_data_step(self):
-        """On-device input path: the whole dataset lives in HBM and each step
-        receives only a [bs] index vector — batch gather, per-item point
-        shuffle and augmentation all happen inside one jitted program.
+        """On-device input path: the whole dataset lives in HBM; a single
+        dispatch drives a `lax.scan` chunk of cfg.steps_per_call steps, each
+        receiving only a [bs] index row — batch gather, per-item point
+        shuffle and augmentation all happen inside the jitted program.
 
-        This removes the per-step host->device batch staging that limits the
-        end-to-end rate (the reference streams every batch through DataLoader
-        workers + pinned copies; with the dataset at ~24KB/cloud even full
-        ShapeNet classes fit comfortably on-chip).
+        This removes both the per-step host->device batch staging (the
+        reference streams every batch through DataLoader workers + pinned
+        copies) and the per-step dispatch latency: through this
+        environment's device relay each dispatch costs ~ms, which was most
+        of the r1 trainer-vs-bare-step gap. Returns a callable
+        (state, idxs [T, bs], key) -> (state, last-step metrics).
         """
         from sp_gan_tpu.data.augment import shuffle_points_batch
 
@@ -117,19 +120,26 @@ class Trainer:
         data_dev = jax.device_put(jnp.asarray(self.dataset.data))
         base = self.train_step
 
-        def step_from_idx(state, idx, key):
-            real = jnp.take(data_dev, idx, axis=0)
-            k1, k2 = jax.random.split(key)
-            real = shuffle_points_batch(k1, real)
-            if cfg.augment:
-                real = augment_batch(k2, real, True)
-            if self.mesh is not None:
-                real = jax.lax.with_sharding_constraint(
-                    real, batch_sharding(self.mesh))
-            return base(state, real)
+        def chunk_from_idx(state, idxs, key):
+            keys = jax.random.split(key, idxs.shape[0] * 2).reshape(
+                idxs.shape[0], 2, 2)
+
+            def body(st, xs):
+                idx, ks = xs
+                real = jnp.take(data_dev, idx, axis=0)
+                real = shuffle_points_batch(ks[0], real)
+                if cfg.augment:
+                    real = augment_batch(ks[1], real, True)
+                if self.mesh is not None:
+                    real = jax.lax.with_sharding_constraint(
+                        real, batch_sharding(self.mesh))
+                return base(st, real)
+
+            state, ms = jax.lax.scan(body, state, (idxs, keys))
+            return state, jax.tree.map(lambda a: a[-1], ms)
 
         donate = (0,) if cfg.donate_state else ()
-        return jax.jit(step_from_idx, donate_argnums=donate)
+        return jax.jit(chunk_from_idx, donate_argnums=donate)
 
     def train(self, max_epoch: Optional[int] = None):
         cfg = self.cfg
@@ -159,26 +169,37 @@ class Trainer:
                 n_steps = len(order) // cfg.bs
                 if self.cfg.steps_per_epoch:
                     n_steps = min(n_steps, self.cfg.steps_per_epoch)
-                for s in range(n_steps):
-                    idx = jnp.asarray(order[s * cfg.bs:(s + 1) * cfg.bs]
-                                      .astype(np.int32))
+                T = max(1, min(cfg.steps_per_call, n_steps))
+                for s0 in range(0, n_steps - n_steps % T, T):
+                    idxs = jnp.asarray(
+                        order[s0 * cfg.bs:(s0 + T) * cfg.bs]
+                        .astype(np.int32).reshape(T, cfg.bs))
                     data_key, k = jax.random.split(data_key)
-                    self.state, metrics = step_from_idx(self.state, idx, k)
-                    global_step += 1
-                    rate = timer.tick()
+                    self.state, metrics = step_from_idx(self.state, idxs, k)
+                    global_step += T
+                    for _ in range(T):
+                        rate = timer.tick()
                     if rate:
                         self.log("throughput: %.2f steps/s, %.0f pts/s, "
                                  "%.1f ms/step" % (rate["steps_per_sec"],
                                                    rate["points_per_sec"],
                                                    rate["ms_per_step"]))
-                    if cfg.save and global_step % 20 == 0:
+                    if cfg.save and global_step % 20 < T:
                         self.dump_samples(epoch, global_step)
-                    if global_step % cfg.log_every == 0 and metrics is not None:
+                    if global_step % cfg.log_every < T and metrics is not None:
                         m = jax.device_get(metrics)
                         d_meter.update(float(m["d_loss"]))
                         g_meter.update(float(m["g_loss"]))
                         ra_meter.update(float(m["real_acc"]))
                         fa_meter.update(float(m["fake_acc"]))
+                rem = n_steps % T
+                if rem:
+                    idxs = jnp.asarray(
+                        order[(n_steps - rem) * cfg.bs:n_steps * cfg.bs]
+                        .astype(np.int32).reshape(rem, cfg.bs))
+                    data_key, k = jax.random.split(data_key)
+                    self.state, metrics = step_from_idx(self.state, idxs, k)
+                    global_step += rem
                 if d_meter.count == 0 and metrics is not None:
                     # short epochs (< log_every steps) never hit the gated
                     # meter update; fold in the final step so the epoch
