@@ -129,6 +129,8 @@ def main():
         "fused_f32": {"fused_train": True, "fused_dphase": True,
                       "dtype": "float32"},
         "f32": {"dtype": "float32"},
+        "bf16g": {"dtype": "bfloat16_g"},
+        "bf16": {"dtype": "bfloat16"},
     }
     for name in args.variants.split(","):
         ms, comp, metrics = time_step(variants[name], args.iters)

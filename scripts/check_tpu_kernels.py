@@ -55,8 +55,11 @@ def main():
         ee, idx = knn_edge_pallas(x, 10, dt)
         check(f"knn_edge idx {dt}",
               bool(jnp.mean((idx == idx_ref).astype(jnp.float32)) > 0.999))
+        # oracle matches production mixed_edge semantics: cast x FIRST, then
+        # gather/diff (bf16(a)-bf16(b), not bf16(a-b))
+        oracle = ef(x.astype(ee.dtype), 10, idx=idx_ref)
         rel = jnp.max(jnp.abs(ee.astype(jnp.float32)
-                              - ee_ref.astype(ee.dtype).astype(jnp.float32)))
+                              - oracle.astype(jnp.float32)))
         check(f"knn_edge ee {dt}", bool(rel < tol))
 
     # blocked large-N kNN

@@ -127,6 +127,10 @@ def _knn_edge_bwd(k, out_dtype, res, g):
     # ee = [central, nbr - central]: central collects sum_j(d[..., :C] -
     # d[..., C:]) at its own row; the neighbor half scatters through idx.
     # (kNN index selection itself is piecewise-constant: no gradient.)
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
+    if pallas_enabled() and N % 8 == 0:
+        from sp_gan_tpu.ops.pallas.scatter import edge_scatter_bwd_pallas
+        return (edge_scatter_bwd_pallas(d_ee, idx).astype(xdtype),)
     d_central = jnp.sum(d_ee[..., :C] - d_ee[..., C:], axis=2)
     d_nbr = d_ee[..., C:].reshape(B, N * k, C)
     d_x = d_central + scatter_rows(d_nbr, idx.reshape(B, N * k), N)

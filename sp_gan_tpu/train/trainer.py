@@ -151,7 +151,11 @@ class Trainer:
         # on-device data path when the dataset fits in HBM (<=1GB)
         use_device_data = self.dataset.data.nbytes <= (1 << 30)
         if use_device_data:
-            step_from_idx = self._device_data_step()
+            # build the jitted chunk ONCE per Trainer: a fresh closure per
+            # train() call would miss jax.jit's cache and recompile
+            if not hasattr(self, "_chunk_step"):
+                self._chunk_step = self._device_data_step()
+            step_from_idx = self._chunk_step
             data_key = jax.random.PRNGKey(cfg.seed + 3)
 
         from sp_gan_tpu.utils.profiling import StepTimer

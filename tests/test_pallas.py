@@ -207,3 +207,26 @@ class TestKnnBlocked:
             np.testing.assert_array_equal(np.asarray(idx), np.asarray(ir))
             np.testing.assert_allclose(np.asarray(dist), np.asarray(dr),
                                        atol=1e-5)
+
+
+class TestEdgeScatterBwd:
+    """Fused d_ee -> d_x backward (scatter + central sums in one kernel)."""
+
+    def test_matches_autodiff(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.scatter import edge_scatter_bwd_pallas
+        from sp_gan_tpu.ops import edge as em
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 64))
+        k = 6
+        idx = em.knn_indices(x, k)
+        for dt, tol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+            d_ee = jax.random.normal(
+                jax.random.PRNGKey(1), (2, 128, k, 128)).astype(dt)
+            g_ref = jax.grad(lambda xx: jnp.sum(
+                em.edge_features(xx, k, idx=idx)
+                * d_ee.astype(jnp.float32)))(x)
+            with pltpu.force_tpu_interpret_mode():
+                d_x = edge_scatter_bwd_pallas(d_ee, idx, t_tile=64)
+            rel = float(jnp.linalg.norm(d_x - g_ref)
+                        / jnp.linalg.norm(g_ref))
+            assert rel < tol, (dt, rel)
