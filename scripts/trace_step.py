@@ -20,6 +20,8 @@ VARIANTS = {
     "fused": {"fused_train": True, "fused_dphase": True},
     "dphase": {"fused_dphase": True},
     "f32": {"dtype": "float32"},
+    "bf16g": {"dtype": "bfloat16_g"},
+    "bf16": {"dtype": "bfloat16"},
 }
 
 

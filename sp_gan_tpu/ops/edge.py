@@ -127,8 +127,13 @@ def _knn_edge_bwd(k, out_dtype, res, g):
     # ee = [central, nbr - central]: central collects sum_j(d[..., :C] -
     # d[..., C:]) at its own row; the neighbor half scatters through idx.
     # (kNN index selection itself is piecewise-constant: no gradient.)
+    import os
     from sp_gan_tpu.ops.dispatch import pallas_enabled
-    if pallas_enabled() and N % 8 == 0:
+    if (pallas_enabled() and N % 8 == 0
+            and os.environ.get("SPGAN_EDGE_BWD", "xla") == "pallas"):
+        # A/B'd on v5e at bs=24/N=2048: the one-sweep kernel re-reads the
+        # d_ee block once per target tile (8x) and measured 1.6 ms SLOWER
+        # than the XLA slice/sub + scatter_rows path below — kept opt-in
         from sp_gan_tpu.ops.pallas.scatter import edge_scatter_bwd_pallas
         return (edge_scatter_bwd_pallas(d_ee, idx).astype(xdtype),)
     d_central = jnp.sum(d_ee[..., :C] - d_ee[..., C:], axis=2)
