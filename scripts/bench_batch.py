@@ -40,6 +40,10 @@ def bare_step(bs, n, iters):
 
 
 def trainer_rate(bs, n, steps):
+    """Per-step rate of the end-to-end Trainer loop. Measured as the
+    DIFFERENCE between a 2-epoch and a 1-epoch train() call so the per-call
+    fixed costs (final checkpoint device_get+pickle through the device
+    relay, python setup) cancel and only the steady-state epoch remains."""
     import jax
     from sp_gan_tpu.config import Config
     from sp_gan_tpu.data import SyntheticDataset
@@ -47,13 +51,16 @@ def trainer_rate(bs, n, steps):
 
     cfg = Config(np=n, bs=bs, nk=20, nz=128, donate_state=True,
                  max_epoch=1, log_dir=f"/tmp/bb_{bs}", log_every=10 ** 9,
-                 steps_per_epoch=steps)
-    ds = SyntheticDataset(n_items=max(bs * 4, 256), n_points=n)
+                 snapshot=10 ** 9, steps_per_epoch=steps)
+    ds = SyntheticDataset(n_items=bs * steps, n_points=n)
     tr = Trainer(cfg, dataset=ds)
     tr.train(max_epoch=1)      # compile + warmup epoch
     t0 = time.perf_counter()
-    tr.train(max_epoch=1)      # timed epoch (steps_per_epoch steps)
-    dt = (time.perf_counter() - t0) / steps
+    tr.train(max_epoch=1)      # 1 epoch + fixed costs
+    t1 = time.perf_counter()
+    tr.train(max_epoch=2)      # 2 epochs + fixed costs
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / steps
     return 1.0 / dt
 
 
@@ -68,7 +75,7 @@ def main():
 
     for bs in [int(s) for s in args.sizes.split(",")]:
         r_bare = bare_step(bs, args.n, args.iters)
-        r_tr = trainer_rate(bs, args.n, max(args.iters, 20))
+        r_tr = trainer_rate(bs, args.n, max(args.iters, 40))
         print(f"bs={bs:>4}: bare {r_bare:6.2f} steps/s "
               f"({r_bare * bs * args.n / 1e6:.2f}M pts/s) | trainer "
               f"{r_tr:6.2f} steps/s ({r_tr * bs * args.n / 1e6:.2f}M pts/s) "
