@@ -28,30 +28,38 @@ def main():
     from sp_gan_tpu.data import SyntheticDataset, sphere_template
     from sp_gan_tpu.train import create_train_state, make_train_step
 
-    BS, N = 24, 2048
+    BS, N, T = 24, 2048, 8
     cfg = Config(np=N, bs=BS, nk=20, nz=128, donate_state=True)
     state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(0))
     sphere = jnp.asarray(sphere_template(N))
     step = make_train_step(cfg, G, D, g_tx, d_tx, sphere)
 
-    data = SyntheticDataset(n_items=BS, n_points=N).data
-    batch = jnp.asarray(data)
+    data = SyntheticDataset(n_items=BS * T, n_points=N).data
+    batches = jnp.asarray(data).reshape(T, BS, N, 3)
+
+    # measure the production dispatch mode: one device call drives a
+    # lax.scan chunk of T steps (what Trainer does via --steps_per_call).
+    # A per-step python loop instead measures this environment's device
+    # relay latency (~6 ms/dispatch) on top of the actual step.
+    def chunk(state, batches):
+        return jax.lax.scan(lambda st, b: step(st, b), state, batches)
+
+    chunk = jax.jit(chunk, donate_argnums=0)
 
     # compile + warmup
-    state, m = step(state, batch)
+    state, m = chunk(state, batches)
     jax.block_until_ready(m)
-    for _ in range(3):
-        state, m = step(state, batch)
+    state, m = chunk(state, batches)
     jax.block_until_ready(m)
 
-    iters = 20
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, batch)
+        state, m = chunk(state, batches)
     jax.block_until_ready(m)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = iters / dt
+    steps_per_sec = iters * T / dt
     points_per_sec = steps_per_sec * BS * N
 
     # secondary: CD / EMD evaluation throughput at the metric-protocol sizes
@@ -68,7 +76,7 @@ def main():
     jax.block_until_ready(r)
     cd_evals_per_sec = 3 * 96 * 96 / (time.perf_counter() - t0)
 
-    gen = batch[:16]
+    gen = batches[0][:16]
     emd_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.005, 50)[0])
     emd_fn(gen, gen).block_until_ready()
     t0 = time.perf_counter()
