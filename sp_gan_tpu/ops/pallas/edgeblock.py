@@ -62,8 +62,9 @@ def _edge_tail_kernel(ee_ref, w1_ref, a1_ref, w2_ref, a2_ref, wx_ref, ax_ref,
         v = lrelu(v).reshape(cs, k, f)
         v = v * w
 
-        # conv_out: contraction over (k, F) — unrolled over k (Mosaic cannot
-        # shape-cast a minor-dims merge like [cs,k,F]->[cs,k*F])
+        # conv_out: contraction over (k, F) — unrolled over k (a single
+        # lane-merged matmul compiles in jax 0.9 Mosaic but the relayout
+        # copies cost more than the loop; measured in scripts/exp_kloop*.py)
         out = bout_ref[0] + jnp.zeros((cs, f), jnp.float32)
         for j in range(k):
             out = out + mm(v[:, j, :], wout_ref[j])

@@ -213,7 +213,10 @@ def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256):
     B, N, C = x.shape
     cd = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     if N > 8192:
-        tq = 8
+        raise ValueError(
+            f"knn_edge_pallas needs the dense [tq, N] distance tile in VMEM "
+            f"(N={N} > 8192); use knn_pallas_blocked + edge_features(idx=...)"
+        )
     while N % tq:
         tq //= 2
     grid = (B, N // tq)

@@ -89,3 +89,19 @@ class TestTrainer:
                      log_dir=str(tmp_path / "run2"), donate_state=False)
         tr = Trainer(cfg)  # falls back to synthetic
         assert len(tr.dataset) > 0
+
+    def test_chunked_stepping_covers_all_steps(self, tmp_path):
+        """steps_per_call chunking (r2): main chunks + remainder chunk
+        process exactly n_steps steps per epoch."""
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=10 ** 9,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     steps_per_call=4)
+        ds = SyntheticDataset(n_items=4 * 10, n_points=32)  # 10 steps: 2x4+2
+        tr = Trainer(cfg, dataset=ds)
+        state = tr.train()
+        assert int(state.step) == 10
+        # second call reuses the cached jitted chunk (no recompile): the
+        # callable object must be identical
+        c1 = tr._chunk_step
+        tr.train(max_epoch=1)
+        assert tr._chunk_step is c1
