@@ -131,6 +131,7 @@ def main():
         "f32": {"dtype": "float32"},
         "bf16g": {"dtype": "bfloat16_g"},
         "bf16": {"dtype": "bfloat16"},
+        "remat": {"remat": True},
     }
     for name in args.variants.split(","):
         ms, comp, metrics = time_step(variants[name], args.iters)

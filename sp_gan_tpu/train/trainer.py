@@ -181,8 +181,9 @@ class Trainer:
                     data_key, k = jax.random.split(data_key)
                     self.state, metrics = step_from_idx(self.state, idxs, k)
                     global_step += T
+                    rate = None
                     for _ in range(T):
-                        rate = timer.tick()
+                        rate = timer.tick() or rate
                     if rate:
                         self.log("throughput: %.2f steps/s, %.0f pts/s, "
                                  "%.1f ms/step" % (rate["steps_per_sec"],
