@@ -1,0 +1,42 @@
+"""Host->device input prefetch — the TPU-native replacement for the
+reference's multi-worker `DataLoader(pin_memory=True)`
+(`/root/reference/Generation/model.py:211-212`).
+
+`jax.device_put` is asynchronous: keeping a small deque of in-flight
+transfers double-buffers the H2D copies behind compute. (The trainer's
+preferred path keeps the whole dataset in HBM and skips this entirely; this
+generator serves datasets too large for device memory.)
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def prefetch_to_device(iterator: Iterable, size: int = 2,
+                       sharding: Optional[jax.sharding.Sharding] = None
+                       ) -> Iterator[jax.Array]:
+    """Yield device arrays from a host-batch iterator, keeping up to `size`
+    transfers in flight. With a `sharding`, batches land pre-sharded across
+    the mesh (the DataParallel scatter equivalent)."""
+    queue = collections.deque()
+
+    def stage(batch):
+        arr = jnp.asarray(batch, jnp.float32)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        else:
+            arr = jax.device_put(arr)
+        queue.append(arr)
+
+    it = iter(iterator)
+    for batch in it:
+        stage(batch)
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
