@@ -61,6 +61,13 @@ def main():
         rel = jnp.max(jnp.abs(ee.astype(jnp.float32)
                               - oracle.astype(jnp.float32)))
         check(f"knn_edge ee {dt}", bool(rel < tol))
+        # diff-only variant (EdgeBlock's production path): ee[..., C:]
+        dee, didx = knn_edge_pallas(x, 10, dt, diff_only=True)
+        check(f"knn_edge diff idx {dt}",
+              bool(jnp.mean((didx == idx_ref).astype(jnp.float32)) > 0.999))
+        drel = jnp.max(jnp.abs(dee.astype(jnp.float32)
+                               - oracle[..., 64:].astype(jnp.float32)))
+        check(f"knn_edge diff {dt}", bool(drel < tol))
 
     # blocked large-N kNN
     xb = jax.random.normal(key, (2, 16384, 3))

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sp_gan_tpu.ops import edge_features
+from sp_gan_tpu.ops import edge_features  # noqa: F401  (public re-export)
+from sp_gan_tpu.ops.edge import edge_diff_features
 
 
 def torch_uniform_init(scale_from_fan_in: bool = True):
@@ -81,6 +82,38 @@ class EqualDense(nn.Module):
 
 def make_dense(eql: bool) -> Callable[..., nn.Module]:
     return EqualDense if eql else TorchDense
+
+
+class SplitEdgeDense(nn.Module):
+    """The EdgeBlock value conv (`conv_x`) computed without materializing the
+    [B, N, k, 2C] concat: with kernel K [2C, F],
+    `concat([central, diff]) @ K == central @ K[:C] + diff @ K[C:]` — and the
+    central term only depends on the point, so it is a [B, N, C] x [C, F]
+    matmul broadcast over k instead of k redundant copies. Parameter shapes,
+    names and init are identical to `TorchDense(F, name="conv_x")` on the
+    concatenated input, so checkpoints and the torch converter are
+    unaffected."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, central, diff):
+        C = central.shape[-1]
+        bound = 1.0 / math.sqrt(2 * C)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (2 * C, self.features),
+        )
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,),
+        )
+        kc = kernel.astype(diff.dtype)
+        v = jnp.matmul(diff, kc[C:]) \
+            + jnp.matmul(central, kc[:C])[:, :, None, :]
+        return v + bias.astype(v.dtype)
 
 
 def instance_norm_points(x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -221,25 +254,32 @@ class EdgeBlock(nn.Module):
         B, N, C = x.shape
         assert C == self.fin
         out_dtype = x.dtype
+        # only the diff half (nbr - central) is ever materialized at
+        # [B, N, k, C]: conv_w consumes it directly and conv_x folds the
+        # broadcast central half into a per-point matmul (SplitEdgeDense),
+        # halving the step's dominant HBM tensor vs the reference's
+        # [central, nbr-central] concat (modules.py:683-725)
         if ee is not None:
+            diff = ee[..., C:]
             if self.mixed:
-                ee = ee.astype(jnp.bfloat16)
+                diff = diff.astype(jnp.bfloat16)
         elif self.mixed:
             # kNN selection stays f32 (inside the fused kNN+gather sweep or
             # the dispatch); only the big [B,N,k,*] edge tensors and their
             # convs run bf16
             if idx is None:
-                ee = edge_features(x, self.k, out_dtype=jnp.bfloat16)
+                diff = edge_diff_features(x, self.k, out_dtype=jnp.bfloat16)
             else:
-                ee = edge_features(x.astype(jnp.bfloat16), self.k, idx=idx)
+                diff = edge_diff_features(x.astype(jnp.bfloat16), self.k,
+                                          idx=idx)
         else:
-            ee = edge_features(x, self.k, idx=idx)           # [B, N, k, 2C]
+            diff = edge_diff_features(x, self.k, idx=idx)    # [B, N, k, C]
         # named residual: the policy-remat path saves only this tensor and
         # recomputes the conv/BN/softmax chains in the backward (avoids both
         # re-running the kNN+gather and storing the chain intermediates)
         from jax.ad_checkpoint import checkpoint_name
-        ee = checkpoint_name(ee, "edge_feats")
-        diff = ee[..., C:]
+        diff = checkpoint_name(diff, "edge_feats")
+        central = x.astype(diff.dtype)                       # [B, N, C]
 
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
         bn = lambda name, v: SPBatchNorm(
@@ -253,8 +293,10 @@ class EdgeBlock(nn.Module):
         w = lrelu(bn("bn_w2", w))
         w = jax.nn.softmax(w, axis=2)                        # softmax over k
 
-        # value branch (conv_x)
-        v = TorchDense(self.fout, name="conv_x")(ee)
+        # value branch (conv_x) — same (2C -> fout) kernel as the reference,
+        # applied as central@W[:C] (per point, broadcast over k) +
+        # diff@W[C:] (per edge)
+        v = SplitEdgeDense(self.fout, name="conv_x")(central, diff)
         v = lrelu(bn("bn_x", v))
         v = v * w
 

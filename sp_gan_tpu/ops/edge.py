@@ -145,6 +145,60 @@ def _knn_edge_bwd(k, out_dtype, res, g):
 _knn_edge.defvjp(_knn_edge_fwd, _knn_edge_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _knn_edge_diff(x: jax.Array, k: int, out_dtype):
+    from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+    # tq=512: ~15% faster than 256 for the diff-only variant on v5e
+    # (amortized 64-deep scan sweep, r2); 1024 regresses 2x (VMEM pressure)
+    return knn_edge_pallas(x, k, out_dtype, tq=512, diff_only=True)
+
+
+def _knn_edge_diff_fwd(x, k, out_dtype):
+    diff, idx = _knn_edge_diff(x, k, out_dtype)
+    return (diff, idx), (idx, jnp.zeros((0,) + x.shape, x.dtype))
+
+
+def _knn_edge_diff_bwd(k, out_dtype, res, g):
+    idx, probe = res
+    xshape, xdtype = probe.shape[1:], probe.dtype
+    d_diff, _ = g                                      # [B, N, k, C]
+    B, N, C = xshape
+    # diff = nbr - central: the neighbor side scatters through idx, the
+    # central side collects -sum_k at its own row. (Half the d_ee bytes of
+    # the concat form — the central half lives in EdgeBlock's conv_x now.)
+    d_x = scatter_rows(d_diff.reshape(B, N * k, C), idx.reshape(B, N * k), N)
+    d_x = d_x - jnp.sum(d_diff, axis=2)
+    return (d_x.astype(xdtype),)
+
+
+_knn_edge_diff.defvjp(_knn_edge_diff_fwd, _knn_edge_diff_bwd)
+
+
+def edge_diff_features(
+    x: jax.Array,
+    k: int,
+    idx: Optional[jax.Array] = None,
+    out_dtype=None,
+):
+    """[B, N, C] -> diff-only edge features `nbr - central` [B, N, k, C].
+
+    The [central, diff] concatenation of `edge_features` doubles the HBM
+    footprint of the hot tensor for no information: central is x broadcast
+    over k, and every consumer (EdgeBlock) either uses the diff half alone
+    (conv_w) or can fold central into a per-point matmul (conv_x split).
+    Same kNN semantics (self-excluded, ascending, f32 selection)."""
+    if idx is None and _use_fused_knn_edge(x):
+        diff, _ = _knn_edge_diff(x, k, jnp.dtype(out_dtype or x.dtype).name)
+        return diff
+    if idx is None:
+        from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
+        idx = knn_dispatch(x, k)
+    if out_dtype is not None:
+        x = x.astype(out_dtype)
+    nbrs = gather_neighbors(x, idx)                            # [B, N, k, C]
+    return nbrs - x[:, :, None, :]
+
+
 def edge_features(
     x: jax.Array,
     k: int,

@@ -146,12 +146,17 @@ def knn_pallas_blocked(x: jax.Array, k: int, tq: int = 256, cb: int = 2048):
 
 
 def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
-                     c: int, cd):
+                     c: int, cd, diff_only: bool = False):
     """kNN selection + neighbor gather + edge-feature construction in one
     sweep: the per-round argmin's one-hot mask doubles as the gather matrix
     (one-hot @ keys on the MXU — entries exactly 1.0, so the gather is
     exact in any dtype). Kills the separate XLA gather, which ran at ~2%
-    HBM bandwidth (~12 ms/step of the r1 default, trace-verified)."""
+    HBM bandwidth (~12 ms/step of the r1 default, trace-verified).
+
+    diff_only: emit just `nbr - central` [tq, k, C] instead of the
+    concatenated [central, nbr - central] [tq, k, 2C] — the central half is
+    x broadcast k times, which EdgeBlock can fold into its conv_x matmul
+    directly; skipping it halves the kernel's HBM output bytes."""
     q = pl.program_id(1)
     keys_raw = x_ref[0]                                     # [N, C] x.dtype
     queries_raw = x_ref[0, pl.ds(q * tq, tq), :]
@@ -197,16 +202,25 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
             nbr += mm(ohb, part)
         nbr = nbr.astype(cd)                                # [TQ, C]
         idx_ref[0, :, j] = a
-        ee_ref[0, :, j, :] = jnp.concatenate(
-            [central, nbr - central], axis=-1)
+        if diff_only:
+            # flat [TQ, k*C] layout: storing [TQ, C] into a [1, TQ, 1, C]
+            # block slot needs a Mosaic interior-unit-dim reshape that fails
+            # to lower for bf16 at C=64; a static lane slice does not
+            ee_ref[0, :, j * c:(j + 1) * c] = nbr - central
+        else:
+            ee_ref[0, :, j, :] = jnp.concatenate(
+                [central, nbr - central], axis=-1)
         dist = jnp.where(oh, jnp.inf, dist)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "out_dtype"))
-def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tq", "out_dtype", "diff_only"))
+def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
+                    diff_only: bool = False):
     """x: [B, N, C] -> (ee [B, N, k, 2C] in out_dtype (default x.dtype),
     idx [B, N, k] int32). Fused kNN (self-excluded, ascending) + edge
-    features [central, nbr - central] — see `_knn_edge_kernel`.
+    features [central, nbr - central] — see `_knn_edge_kernel`. With
+    diff_only=True, ee is just `nbr - central` [B, N, k, C].
 
     The distance selection always runs in f32 regardless of out_dtype, so a
     bf16 edge tensor (mixed_edge) keeps f32-exact neighbor choice."""
@@ -220,29 +234,38 @@ def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256):
     while N % tq:
         tq //= 2
     grid = (B, N // tq)
-    kernel = functools.partial(_knn_edge_kernel, k=k, tq=tq, n=N, c=C, cd=cd)
+    ec = C if diff_only else 2 * C
+    ee_spec = (pl.BlockSpec((1, tq, k * C), lambda b, q: (b, q, 0),
+                            memory_space=pltpu.VMEM)
+               if diff_only else
+               pl.BlockSpec((1, tq, k, ec), lambda b, q: (b, q, 0, 0),
+                            memory_space=pltpu.VMEM))
+    ee_shape = (B, N, k * C) if diff_only else (B, N, k, ec)
+    kernel = functools.partial(_knn_edge_kernel, k=k, tq=tq, n=N, c=C, cd=cd,
+                               diff_only=diff_only)
     ee, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, N, C), lambda b, q: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, tq, k, 2 * C), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ee_spec,
             pl.BlockSpec((1, tq, k), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, k, 2 * C), cd),
+            jax.ShapeDtypeStruct(ee_shape, cd),
             jax.ShapeDtypeStruct((B, N, k), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * N * C * (1 + k // 4), transcendentals=0,
             bytes_accessed=B * N * C * 4 * (N // tq)
-            + B * N * k * (2 * C * cd.itemsize + 4)),
+            + B * N * k * (ec * cd.itemsize + 4)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(x)
+    if diff_only:
+        ee = ee.reshape(B, N, k, C)   # trailing-dim split: layout no-op
     return ee, idx
 
 
