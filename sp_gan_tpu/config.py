@@ -96,6 +96,11 @@ class Config:
     fused_dphase: bool = False         # fused train-mode G forward for the
                                        # D-phase fake generation only (no
                                        # backward kernels involved)
+    fused_eval: bool = False           # whole-EdgeBlock fused eval kernels in
+                                       # the sampler; the plain graph with the
+                                       # diff-only kNN+gather kernel measured
+                                       # 1.7x faster (34.7 vs 58.9 ms at
+                                       # bs=64/N=2048, r2) so this is opt-in
     bn_stats: str = "global"           # {global, per_shard}: BatchNorm batch-
                                        # statistics scope under data parallelism.
                                        # global = GSPMD full-array semantics

@@ -145,8 +145,38 @@ def knn_pallas_blocked(x: jax.Array, k: int, tq: int = 256, cb: int = 2048):
     return idx, dist
 
 
+def _dist_cross(queries, keys, mode: str):
+    """[TQ, C] x [N, C]^T -> [TQ, N] inner products at selectable precision.
+
+    "highest": 6-pass f32 emulation (exact-f32 selection; the r1 choice).
+    "bf16_3x": manual hi/lo split, 3 bf16 passes — ~1.5e-7 relative error,
+      the same ballpark as a single f32 rounding; Mosaic exposes no
+      Precision.HIGH so the split is written out. Half the MXU passes of
+      "highest", which dominates the kernel (k=1 cost 3.5 of 5.4 ms at
+      B=24 N=2048 C=64: the distance matmul, not the selection loop).
+    """
+    if mode == "highest":
+        return jax.lax.dot_general(
+            queries, keys, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    bf16 = jnp.bfloat16
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    qhi = queries.astype(bf16)
+    khi = keys.astype(bf16)
+    if mode == "bf16":          # cost-probe only: selection too coarse
+        return mm(qhi, khi)
+    qlo = (queries - qhi.astype(jnp.float32)).astype(bf16)
+    klo = (keys - khi.astype(jnp.float32)).astype(bf16)
+    return mm(qhi, khi) + (mm(qhi, klo) + mm(qlo, khi))
+
+
 def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
-                     c: int, cd, diff_only: bool = False):
+                     c: int, cd, diff_only: bool = False,
+                     dist_mode: str = "highest"):
     """kNN selection + neighbor gather + edge-feature construction in one
     sweep: the per-round argmin's one-hot mask doubles as the gather matrix
     (one-hot @ keys on the MXU — entries exactly 1.0, so the gather is
@@ -165,10 +195,7 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
 
     qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
     kn = jnp.sum(keys * keys, axis=-1, keepdims=True)
-    cross = jax.lax.dot_general(
-        queries, keys, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    cross = _dist_cross(queries, keys, dist_mode)
     dist = qn - 2.0 * cross + kn.T                          # [TQ, N]
 
     row_ids = q * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, n), 0)
@@ -214,9 +241,10 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tq", "out_dtype", "diff_only"))
+                   static_argnames=("k", "tq", "out_dtype", "diff_only",
+                                    "dist_mode"))
 def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
-                    diff_only: bool = False):
+                    diff_only: bool = False, dist_mode: str = "highest"):
     """x: [B, N, C] -> (ee [B, N, k, 2C] in out_dtype (default x.dtype),
     idx [B, N, k] int32). Fused kNN (self-excluded, ascending) + edge
     features [central, nbr - central] — see `_knn_edge_kernel`. With
@@ -242,7 +270,7 @@ def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
                             memory_space=pltpu.VMEM))
     ee_shape = (B, N, k * C) if diff_only else (B, N, k, ec)
     kernel = functools.partial(_knn_edge_kernel, k=k, tq=tq, n=N, c=C, cd=cd,
-                               diff_only=diff_only)
+                               diff_only=diff_only, dist_mode=dist_mode)
     ee, idx = pl.pallas_call(
         kernel,
         grid=grid,

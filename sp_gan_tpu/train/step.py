@@ -208,7 +208,7 @@ def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
     template_idx = jax.device_get(
         knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
     template_idx = jnp.asarray(template_idx)
-    use_fused = supports_fused(cfg) and pallas_enabled()
+    use_fused = cfg.fused_eval and supports_fused(cfg) and pallas_enabled()
 
     @jax.jit
     def sample(state: TrainState, z: jax.Array):

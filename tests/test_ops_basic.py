@@ -99,6 +99,26 @@ class TestEdgeFeatures:
         assert e_fea.shape == (1, 12, 4, 16)
         assert e_xyz.shape == (1, 12, 4, 6)
 
+    def test_diff_features_match_concat_half(self, rng):
+        from sp_gan_tpu.ops.edge import edge_diff_features
+        x = jnp.array(rng.standard_normal((2, 16, 4)).astype(np.float32))
+        ee = ops.edge_features(x, 3)
+        diff = edge_diff_features(x, 3)
+        assert diff.shape == (2, 16, 3, 4)
+        np.testing.assert_allclose(np.asarray(diff), np.asarray(ee[..., 4:]),
+                                   atol=1e-6)
+
+    def test_diff_features_grad_matches_concat(self, rng):
+        from sp_gan_tpu.ops.edge import edge_diff_features
+        x = jnp.array(rng.standard_normal((2, 16, 4)).astype(np.float32))
+        w = jnp.array(rng.standard_normal((2, 16, 3, 4)).astype(np.float32))
+        g_diff = jax.grad(
+            lambda v: jnp.sum(edge_diff_features(v, 3) * w))(x)
+        g_concat = jax.grad(
+            lambda v: jnp.sum(ops.edge_features(v, 3)[..., 4:] * w))(x)
+        np.testing.assert_allclose(np.asarray(g_diff), np.asarray(g_concat),
+                                   atol=1e-5)
+
 
 class TestChamfer:
     def test_nn_distance_oracle(self, rng):
