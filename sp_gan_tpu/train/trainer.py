@@ -55,7 +55,9 @@ class Trainer:
                                          cfg.scale, cls=cfg.cls, con=cfg.con)
             except (FileNotFoundError, OSError) as e:
                 self.log(f"H5 data unavailable ({e}); using synthetic data")
-                self.dataset = SyntheticDataset(n_points=cfg.np)
+                # big enough that an epoch is more than one batch at any bs
+                self.dataset = SyntheticDataset(
+                    n_items=max(240, cfg.bs * 8), n_points=cfg.np)
         self.steps_per_epoch = cfg.steps_per_epoch or max(
             1, len(self.dataset) // cfg.bs)
 
@@ -167,6 +169,11 @@ class Trainer:
         global_step = 0
 
         for epoch in range(self.start_epoch, max_epoch + 1):
+            # per-epoch meter averages (reference model.py resets each epoch;
+            # without this the short-epoch fallback below only ever fires in
+            # the first epoch and later summaries reprint stale numbers)
+            for meter in (d_meter, g_meter, ra_meter, fa_meter):
+                meter.reset()
             metrics = None
             if use_device_data:
                 order = rng_np.permutation(len(self.dataset))

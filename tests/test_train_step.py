@@ -108,6 +108,25 @@ class TestSampling:
         assert out.shape == (2, cfg.np, 3)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_sample_fn_matches_plain_eval_forward(self):
+        """The sampler's default path is the plain eval graph (fused_eval is
+        opt-in since the diff-only kNN kernel made the plain graph faster);
+        pin its output to a direct G.apply(train=False)."""
+        cfg = tiny_cfg()
+        assert cfg.fused_eval is False
+        state, G, D, step, sphere = build(cfg)
+        sample = make_sample_fn(cfg, G, sphere)
+        z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.np, cfg.nz)) * 0.2
+        out = sample(state, z)
+        x = jnp.broadcast_to(sphere[None], (2,) + sphere.shape)
+        # compare against the jitted plain forward: eager-vs-jit differ at
+        # ~4e-2 under mixed_edge (bf16 edge internals contract differently
+        # outside XLA fusion) — both are the same program, the sampler must
+        # match the jitted one bit-for-bit
+        ref = jax.jit(lambda v, xx, zz: G.apply(v, xx, zz, train=False))(
+            {"params": state.g_params, "batch_stats": state.g_stats}, x, z)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, real_batch):
