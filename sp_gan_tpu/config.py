@@ -101,6 +101,16 @@ class Config:
                                        # diff-only kNN+gather kernel measured
                                        # 1.7x faster (34.7 vs 58.9 ms at
                                        # bs=64/N=2048, r2) so this is opt-in
+    edge1_b1: bool = True              # run the generator's first EdgeBlock at
+                                       # batch size 1 and broadcast the result:
+                                       # with use_head off its input is the
+                                       # static sphere template, so the whole
+                                       # block (convs, BN, softmax) is batch-
+                                       # constant — BN statistics over B
+                                       # identical copies equal the B=1 stats,
+                                       # and the broadcast's backward sums the
+                                       # gradient over the batch. Auto-disabled
+                                       # with use_head or per-shard BN.
     bn_stats: str = "global"           # {global, per_shard}: BatchNorm batch-
                                        # statistics scope under data parallelism.
                                        # global = GSPMD full-array semantics

@@ -47,12 +47,22 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x, z, train: bool = True, edge1_idx=None,
                  z2=None, blend_mask=None, blend_alpha: float = 0.0,
-                 edge1_ee=None):
+                 edge1_ee=None, template_batch_const: bool = False):
         """x: sphere points [B, N, 3]; z: latent [B, N, nz] -> [B, N, 3].
 
         edge1_idx: optional precomputed kNN indices [B, N, k] for the first
         EdgeConv (valid when x is the static sphere template and use_head is
         off — the training-loop case, reference model.py:231).
+
+        template_batch_const: caller guarantees every x[b] is the SAME
+        template (the training/sampling case). The first EdgeBlock then runs
+        at batch size 1 and broadcasts: z only enters the graph at adain1, so
+        the whole block is batch-constant — BN statistics over B identical
+        copies equal the B=1 statistics, and the broadcast's backward sums
+        d_x1 over the batch, so parameters see identical gradients. Cuts the
+        block's [B,N,k,*] HBM traffic B-fold. Ignored with use_head (pc is a
+        learned batch-dependent lift) and with per-shard BN groups (B=1 can't
+        be split into groups; stats would be identical anyway).
 
         z2/blend_mask/blend_alpha: style-space (latent) part interpolation
         (`Generator.interpolate(use_latent=True)`, Generator.py:216-232):
@@ -115,9 +125,15 @@ class Generator(nn.Module):
         if cfg.use_head:
             edge1_idx = None  # pc is a learned lift, not the template
             edge1_ee = None
-        x1 = EB(c1_in, c1_out, k, name="edge1")(pc, train, edge1_idx,
-                                                edge1_ee)
-        x1 = nn.leaky_relu(x1, NEG2)
+        edge1 = EB(c1_in, c1_out, k, name="edge1")
+        if template_batch_const and not cfg.use_head and cfg.bn_groups == 1:
+            i1 = None if edge1_idx is None else edge1_idx[:1]
+            e1 = None if edge1_ee is None else edge1_ee[:1]
+            x1 = edge1(pc[:1], train, i1, e1)
+            x1 = jnp.broadcast_to(nn.leaky_relu(x1, NEG2), (B, N, c1_out))
+        else:
+            x1 = edge1(pc, train, edge1_idx, edge1_ee)
+            x1 = nn.leaky_relu(x1, NEG2)
         x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
 
         x2 = EB(c1_out, dim, k, name="edge2")(x1, train)

@@ -78,18 +78,32 @@ def make_train_step(
     # it regardless of the fused_train flag.
     use_fused_dphase = cfg.fused_dphase and fused_ok
 
+    # edge1's input is the batch-constant template: run it at B=1 and
+    # broadcast (see Generator.template_batch_const)
+    edge1_b1 = cfg.edge1_b1 and not cfg.use_head and cfg.bn_groups == 1
+
     def g_forward(g_params, g_stats, x, z, grad_needed=True):
         B = x.shape[0]
-        idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
-        ee1 = jnp.broadcast_to(template_ee[None], (B,) + template_ee.shape)
         fused = use_fused_g or (use_fused_dphase and not grad_needed)
         if fused:
             from sp_gan_tpu.nn.fused_train import generator_forward_train
+            idx = jnp.broadcast_to(template_idx[None],
+                                   (B,) + template_idx.shape)
+            ee1 = jnp.broadcast_to(template_ee[None],
+                                   (B,) + template_ee.shape)
             out, new_stats = generator_forward_train(
                 cfg, g_params, g_stats, x, z, edge1_idx=idx, edge1_ee=ee1)
             return out, {"batch_stats": new_stats}
+        if edge1_b1:
+            idx, ee1 = template_idx[None], template_ee[None]
+        else:
+            idx = jnp.broadcast_to(template_idx[None],
+                                   (B,) + template_idx.shape)
+            ee1 = jnp.broadcast_to(template_ee[None],
+                                   (B,) + template_ee.shape)
         return G.apply({"params": g_params, "batch_stats": g_stats},
                        x, z, train=True, edge1_idx=idx, edge1_ee=ee1,
+                       template_batch_const=edge1_b1,
                        mutable=["batch_stats"])
 
     def d_forward(d_params, d_stats, pts):
@@ -209,17 +223,22 @@ def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
         knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
     template_idx = jnp.asarray(template_idx)
     use_fused = cfg.fused_eval and supports_fused(cfg) and pallas_enabled()
+    edge1_b1 = cfg.edge1_b1 and not cfg.use_head and cfg.bn_groups == 1
 
     @jax.jit
     def sample(state: TrainState, z: jax.Array):
         B = z.shape[0]
         x = jnp.broadcast_to(sphere[None], (B,) + sphere.shape)
-        idx = jnp.broadcast_to(template_idx[None], (B,) + template_idx.shape)
         params = state.g_ema if (use_ema and state.g_ema is not None) \
             else state.g_params
         variables = {"params": params, "batch_stats": state.g_stats}
         if use_fused:
+            idx = jnp.broadcast_to(template_idx[None],
+                                   (B,) + template_idx.shape)
             return generator_forward_eval(cfg, variables, x, z, edge1_idx=idx)
-        return G.apply(variables, x, z, train=False, edge1_idx=idx)
+        idx = template_idx[None] if edge1_b1 else jnp.broadcast_to(
+            template_idx[None], (B,) + template_idx.shape)
+        return G.apply(variables, x, z, train=False, edge1_idx=idx,
+                       template_batch_const=edge1_b1)
 
     return sample

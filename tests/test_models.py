@@ -142,3 +142,72 @@ class TestGradients:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         nonzero = sum(int(np.any(np.asarray(l) != 0)) for l in leaves)
         assert nonzero > len(leaves) * 0.9
+
+
+class TestTemplateBatchConst:
+    """`template_batch_const` (B=1 first EdgeBlock + broadcast): numerically
+    equivalent to the plain graph when every x[b] is the same template."""
+
+    def test_eval_forward_identical(self, cfg):
+        from sp_gan_tpu.data import sphere_template
+        c = cfg.replace(dtype="float32")
+        G = Generator(c)
+        sphere = jnp.asarray(sphere_template(c.np))
+        x = jnp.broadcast_to(sphere[None], (3, c.np, 3))
+        z = jax.random.normal(jax.random.PRNGKey(3), (3, c.np, c.nz)) * 0.2
+        gv = G.init(jax.random.PRNGKey(0), x, z, train=True)
+        o0 = G.apply(gv, x, z, train=False)
+        o1 = G.apply(gv, x, z, train=False, template_batch_const=True)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-6)
+
+    def test_train_forward_and_grads_match(self, cfg):
+        from sp_gan_tpu.data import sphere_template
+        c = cfg.replace(dtype="float32")
+        G = Generator(c)
+        sphere = jnp.asarray(sphere_template(c.np))
+        x = jnp.broadcast_to(sphere[None], (3, c.np, 3))
+        z = jax.random.normal(jax.random.PRNGKey(3), (3, c.np, c.nz)) * 0.2
+        gv = G.init(jax.random.PRNGKey(0), x, z, train=True)
+
+        outs, stats, grads = [], [], []
+        for tbc in (False, True):
+            def loss(params):
+                out, mut = G.apply(
+                    {"params": params, "batch_stats": gv["batch_stats"]},
+                    x, z, train=True, template_batch_const=tbc,
+                    mutable=["batch_stats"])
+                return jnp.mean(out ** 2), (out, mut["batch_stats"])
+
+            (l, (out, st)), g = jax.value_and_grad(loss, has_aux=True)(
+                gv["params"])
+            outs.append(np.asarray(out))
+            stats.append(st)
+            grads.append(g)
+        # f32 BN batch stats reduce over B*N*k vs N*k (identical values,
+        # different summation order); the ~1e-7 stat difference amplifies
+        # through rsqrt + the conv chains to ~5e-5 at the output
+        np.testing.assert_allclose(outs[0], outs[1], atol=5e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(stats[0]),
+                        jax.tree_util.tree_leaves(stats[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                        jax.tree_util.tree_leaves(grads[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+    def test_disabled_with_use_head_and_per_shard_bn(self, cfg):
+        """With use_head (batch-dependent lift) or per-shard BN groups the
+        flag must be a no-op (same graph, no B=1 slicing crash)."""
+        from sp_gan_tpu.data import sphere_template
+        for kw in ({"use_head": True},
+                   {"bn_stats": "per_shard", "mesh_shape": (2,)}):
+            c = cfg.replace(dtype="float32", **kw)
+            G = Generator(c)
+            sphere = jnp.asarray(sphere_template(c.np))
+            x = jnp.broadcast_to(sphere[None], (2, c.np, 3))
+            z = jax.random.normal(jax.random.PRNGKey(3), (2, c.np, c.nz))
+            gv = G.init(jax.random.PRNGKey(0), x, z, train=True)
+            o0, _ = G.apply(gv, x, z, train=True, mutable=["batch_stats"])
+            o1, _ = G.apply(gv, x, z, train=True, template_batch_const=True,
+                            mutable=["batch_stats"])
+            np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))

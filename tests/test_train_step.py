@@ -119,11 +119,13 @@ class TestSampling:
         z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.np, cfg.nz)) * 0.2
         out = sample(state, z)
         x = jnp.broadcast_to(sphere[None], (2,) + sphere.shape)
-        # compare against the jitted plain forward: eager-vs-jit differ at
-        # ~4e-2 under mixed_edge (bf16 edge internals contract differently
-        # outside XLA fusion) — both are the same program, the sampler must
-        # match the jitted one bit-for-bit
-        ref = jax.jit(lambda v, xx, zz: G.apply(v, xx, zz, train=False))(
+        # compare against the jitted plain forward with the same static
+        # options the sampler uses (template_batch_const B=1 edge1):
+        # eager-vs-jit differ at ~4e-2 under mixed_edge (bf16 edge internals
+        # contract differently outside XLA fusion) — both are the same
+        # program, the sampler must match the jitted one bit-for-bit
+        ref = jax.jit(lambda v, xx, zz: G.apply(
+            v, xx, zz, train=False, template_batch_const=cfg.edge1_b1))(
             {"params": state.g_params, "batch_stats": state.g_stats}, x, z)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
