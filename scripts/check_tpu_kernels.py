@@ -96,6 +96,25 @@ def main():
     rel = jnp.max(jnp.abs(out - oracle) / (jnp.abs(oracle) + 1.0))
     check("scatter_add", bool(rel < 2e-2))
 
+    # native-shape diff-edge backward (scatter + central term in one kernel)
+    from sp_gan_tpu.ops.pallas.scatter import scatter_diff_bwd_pallas
+    B, N, k, C = 2, 2048, 10, 64
+    dd = jax.random.normal(key, (B, N, k, C))
+    sidx = jax.random.randint(key, (B, N, k), 0, N)
+    d_x = scatter_diff_bwd_pallas(dd, sidx)
+    oracle = jnp.zeros((B, N, C)).at[
+        jnp.arange(B)[:, None], sidx.reshape(B, N * k)].add(
+        dd.reshape(B, N * k, C)) - jnp.sum(dd, axis=2)
+    rel = jnp.max(jnp.abs(d_x - oracle) / (jnp.abs(oracle) + 1.0))
+    check("scatter_diff_bwd f32", bool(rel < 1e-4))
+    d_xb = scatter_diff_bwd_pallas(dd.astype(jnp.bfloat16), sidx)
+    oracleb = jnp.zeros((B, N, C)).at[
+        jnp.arange(B)[:, None], sidx.reshape(B, N * k)].add(
+        dd.astype(jnp.bfloat16).astype(jnp.float32).reshape(B, N * k, C)) \
+        - jnp.sum(dd.astype(jnp.bfloat16).astype(jnp.float32), axis=2)
+    rel = jnp.max(jnp.abs(d_xb - oracleb) / (jnp.abs(oracleb) + 1.0))
+    check("scatter_diff_bwd bf16", bool(rel < 2e-2))
+
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

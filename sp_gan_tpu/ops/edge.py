@@ -166,6 +166,15 @@ def _knn_edge_diff_bwd(k, out_dtype, res, g):
     # diff = nbr - central: the neighbor side scatters through idx, the
     # central side collects -sum_k at its own row. (Half the d_ee bytes of
     # the concat form — the central half lives in EdgeBlock's conv_x now.)
+    import os
+    from sp_gan_tpu.ops.dispatch import pallas_enabled
+    if (pallas_enabled() and N % 8 == 0
+            and os.environ.get("SPGAN_DIFF_BWD", "pallas") == "pallas"):
+        # native-shape kernel: no N*k reshape relayouts (see
+        # scatter_diff_bwd_pallas; SPGAN_DIFF_BWD=xla restores the
+        # reshape + scatter_rows path below)
+        from sp_gan_tpu.ops.pallas.scatter import scatter_diff_bwd_pallas
+        return (scatter_diff_bwd_pallas(d_diff, idx).astype(xdtype),)
     d_x = scatter_rows(d_diff.reshape(B, N * k, C), idx.reshape(B, N * k), N)
     d_x = d_x - jnp.sum(d_diff, axis=2)
     return (d_x.astype(xdtype),)

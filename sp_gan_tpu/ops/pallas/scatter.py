@@ -122,6 +122,91 @@ def edge_scatter_bwd_pallas(d_ee: jax.Array, idx: jax.Array,
     )(d_ee, idx_flat)
 
 
+def _diff_bwd_kernel(dd_ref, idx_ref, out_ref, *, T: int, k: int, c: int):
+    """Backward of the diff-only edge op in the arrays' NATIVE shapes:
+    d_x[b,p,:] = sum_{(q,j): idx[b,q,j]=p} d_diff[b,q,j,:]
+                 - sum_j d_diff[b,p,j,:]   (central term, fused when s==t).
+
+    Consuming [B,N,k,C] + [B,N,k] directly (one [T,T] one-hot matmul per
+    neighbor slot) removes the [B,N*k,C] reshape relayout copy and the
+    [B,N*k,1] index materialization XLA emitted around the generic
+    `scatter_add_pallas` (~0.8 ms/step of pure data formatting at the
+    default config, trace-verified r2)."""
+    t = pl.program_id(1)
+    s = pl.program_id(2)
+    cols = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    acc = jnp.zeros((T, c), jnp.float32)
+    f32_in = dd_ref.dtype == jnp.float32
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    for j in range(k):
+        idx_j = idx_ref[0, :, j]                            # [T] sublanes
+        g_j = dd_ref[0, :, j, :]                            # [T, C]
+        oh = (idx_j[:, None] == cols).astype(jnp.bfloat16)  # [T_src, T_tgt]
+        if f32_in:
+            # exact f32 via hi/mid/lo bf16 split (one-hot rows pick
+            # disjoint values, so the parts reconstruct exactly)
+            hi = g_j.astype(jnp.bfloat16)
+            r1 = g_j - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc += mm(oh, hi) + mm(oh, mid) + mm(oh, lo)
+        else:
+            acc += mm(oh, g_j.astype(jnp.bfloat16))
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(s != 0)
+    def _():
+        out_ref[0] += acc
+
+    @pl.when(s == t)
+    def _():
+        out_ref[0] -= jnp.sum(dd_ref[0].astype(jnp.float32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("t_tile",))
+def scatter_diff_bwd_pallas(d_diff: jax.Array, idx: jax.Array,
+                            t_tile: int = 0) -> jax.Array:
+    """(d_diff [B,N,k,C], idx [B,N,k]) -> d_x [B,N,C] f32 for
+    diff = nbr - central edge features. See `_diff_bwd_kernel`.
+
+    Default tiles (v5e sweep, B=24 N=2048 k=10 C=64): bf16 T=2048 (whole-N
+    target tile, source blocks read once) 2.65 ms vs 2.92 for the generic
+    reshape + `scatter_add_pallas` path; f32 T=1024 (T=2048 exceeds VMEM
+    with the 3-split parts)."""
+    B, N, k, C = d_diff.shape
+    if not t_tile:
+        t_tile = 1024 if d_diff.dtype == jnp.float32 else 2048
+    T = min(t_tile, N)
+    while N % T:
+        T //= 2
+    kernel = functools.partial(_diff_bwd_kernel, T=T, k=k, c=C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, N // T, N // T),
+        in_specs=[
+            pl.BlockSpec((1, T, k, C), lambda b, t, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, k), lambda b, t, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, t, s: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * k * N * C, transcendentals=0,
+            bytes_accessed=B * N * k * C * d_diff.dtype.itemsize
+            * (N // T) + B * N * C * 4),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(d_diff, idx.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("n_targets", "t_tile", "s_tile"))
 def scatter_add_pallas(g: jax.Array, idx: jax.Array, n_targets: int,
                        t_tile: int = 512, s_tile: int = 4096) -> jax.Array:
