@@ -103,8 +103,12 @@ class Manipulator:
             self._fwd = jax.jit(
                 lambda v, x, z: generator_forward_eval(cfg, v, x, z))
         else:
+            # every routine forwards the broadcast template, so the first
+            # EdgeBlock runs at B=1 (Generator.template_batch_const)
+            b1 = cfg.edge1_b1 and not cfg.use_head and cfg.bn_groups == 1
             self._fwd = jax.jit(
-                lambda v, x, z: self.G.apply(v, x, z, train=False))
+                lambda v, x, z: self.G.apply(v, x, z, train=False,
+                                             template_batch_const=b1))
 
     # -------------------------------------------------------------- core
     def forward(self, z: jax.Array) -> np.ndarray:
