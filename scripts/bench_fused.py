@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def time_step(cfg_kwargs, iters=20):
+def time_step(cfg_kwargs, iters=20, bs=24, n=2048):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,7 +26,7 @@ def time_step(cfg_kwargs, iters=20):
     from sp_gan_tpu.data import SyntheticDataset, sphere_template
     from sp_gan_tpu.train import create_train_state, make_train_step
 
-    BS, N = 24, 2048
+    BS, N = bs, n
     cfg = Config(np=N, bs=BS, nk=20, nz=128, donate_state=True, **cfg_kwargs)
     state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(0))
     sphere = jnp.asarray(sphere_template(N))
@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--skip-check", action="store_true")
     ap.add_argument("--variants", default="default,fused,dphase")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bs", type=int, default=24)
+    ap.add_argument("--np", dest="n", type=int, default=2048)
     args = ap.parse_args()
 
     from sp_gan_tpu.utils import enable_compile_cache
@@ -134,8 +136,10 @@ def main():
         "remat": {"remat": True},
     }
     for name in args.variants.split(","):
-        ms, comp, metrics = time_step(variants[name], args.iters)
-        print(f"{name}: {ms:.1f} ms/step ({1e3/ms:.1f} steps/s, "
+        ms, comp, metrics = time_step(variants[name], args.iters,
+                                      bs=args.bs, n=args.n)
+        print(f"{name} (bs={args.bs}, N={args.n}): {ms:.1f} ms/step "
+              f"({1e3/ms:.1f} steps/s, {args.bs*args.n/ms*1e3/1e3:.0f}k pts/s, "
               f"compile {comp:.0f}s) metrics={metrics}", flush=True)
 
 

@@ -105,3 +105,20 @@ class TestTrainer:
         c1 = tr._chunk_step
         tr.train(max_epoch=1)
         assert tr._chunk_step is c1
+
+
+class TestEpochMeters:
+    def test_epoch_summaries_use_fresh_meters(self, tmp_path):
+        """Short epochs (fewer steps than log_every) rely on the final-step
+        fallback; without the per-epoch meter reset every epoch after the
+        first reprinted epoch-1's numbers verbatim (regression, r2)."""
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=3, snapshot=3,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     log_every=1000)   # never hit: forces the fallback
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        tr.train()
+        lines = [l for l in open(os.path.join(cfg.log_dir, "log_train.txt"))
+                 if l.startswith("Epoch:")]
+        assert len(lines) == 3
+        losses = [l.split("d_loss:")[1] for l in lines]
+        assert len(set(losses)) == 3, f"stale epoch summaries: {lines}"
