@@ -115,6 +115,25 @@ def main():
     rel = jnp.max(jnp.abs(d_xb - oracleb) / (jnp.abs(oracleb) + 1.0))
     check("scatter_diff_bwd bf16", bool(rel < 2e-2))
 
+    # VMEM-resident EMD auction vs scipy Hungarian (eps-optimality bound)
+    from scipy.optimize import linear_sum_assignment
+    from sp_gan_tpu.ops.pairwise import pairwise_sqdist as psq
+    from sp_gan_tpu.ops.pallas.auction import auction_assignment_pallas
+    import numpy as _np
+    rngh = _np.random.default_rng(3)
+    na = 256
+    a1 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
+    a2 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
+    dm = psq(a1, a2)
+    asg = _np.asarray(auction_assignment_pallas(dm, eps=0.002, iters=10000))
+    ok = True
+    for b in range(2):
+        r, c = linear_sum_assignment(_np.asarray(dm)[b])
+        opt = _np.asarray(dm)[b][r, c].sum()
+        got = _np.asarray(dm)[b][_np.arange(na), asg[b]].sum()
+        ok &= (len(set(asg[b])) == na) and (got <= opt + na * 0.002 + 1e-4)
+    check("auction eps-optimal n=256", bool(ok))
+
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

@@ -38,17 +38,24 @@ def pairwise_cd_matrix(gen: jax.Array, ref: jax.Array,
 
 
 def pairwise_emd_matrix(gen: jax.Array, ref: jax.Array, eps: float = 0.005,
-                        iters: int = 50, row_batch: int = 8) -> np.ndarray:
+                        iters: int = 50, row_batch: int = 8,
+                        scaled: bool = True) -> np.ndarray:
     """[S1,N,3] x [S2,N,3] -> [S1,S2] mean L2 EMD (lgan protocol,
     `_pairwise_EMD_CD_`, loss_utils.py:311-340). Rows processed in batches —
-    each entry is an auction solve, the expensive metric."""
+    each entry is an auction solve, the expensive metric.
+
+    scaled=True (default) solves with epsilon-scaling + early termination:
+    the same N*eps optimality contract as the reference's fixed 10000-iter
+    test regime, at a fraction of the rounds (validated vs Hungarian and
+    the fixed-iteration solver — see BASELINE.md EMD audit)."""
     S1, S2 = gen.shape[0], ref.shape[0]
 
     @jax.jit
     def rows(g_block):                                    # [R, N, 3]
         def one(cloud):
             d, _ = emd_auction(
-                jnp.broadcast_to(cloud[None], ref.shape), ref, eps, iters)
+                jnp.broadcast_to(cloud[None], ref.shape), ref, eps, iters,
+                scaled)
             return jnp.sqrt(jnp.maximum(d, 0)).mean(-1)   # [S2]
         return lax.map(one, g_block)
 

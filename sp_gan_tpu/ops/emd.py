@@ -86,28 +86,116 @@ def _auction_single(d: jax.Array, eps: float, iters: int) -> jax.Array:
     return jnp.where(assignment < 0, best_idx, assignment)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _auction_single_scaled(d: jax.Array, eps: float, iters: int,
+                           phases: int = 4, theta: float = 8.0) -> jax.Array:
+    """Auction with epsilon-scaling + early termination (Bertsekas).
+
+    Runs `phases` rounds of the Jacobi auction with eps_p = eps * theta^
+    (phases-1-p), carrying prices between phases (assignments reset each
+    phase), each phase a `while_loop` that stops as soon as every point is
+    assigned. A completed final phase yields a FULL assignment (a bijection)
+    that is N*eps-optimal — strictly stronger than the fixed-iteration
+    variant above, whose forced last pass can leave an invalid matching (the
+    convergence audit in BASELINE.md measured it UNDERestimating EMD at low
+    iteration counts). Typical cost at N=2048: a few hundred total rounds vs
+    the reference test regime's fixed 10000 (`metrics/emd/README.md:7-8`),
+    for the same (or tighter) optimality bound. `iters` caps TOTAL rounds
+    across phases; leftover points after the cap take their current best
+    item, like the CUDA forced pass."""
+    n, m = d.shape
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+
+    def make_round(eps_p):
+        def round_fn(state):
+            it, assignment, assignment_inv, price = state
+            unassigned = assignment < 0
+            value = -d - price[None, :]
+            best_val = jnp.max(value, axis=1)
+            best_idx = jnp.argmax(value, axis=1).astype(jnp.int32)
+            masked = jnp.where(arange_m[None, :] == best_idx[:, None],
+                               -jnp.inf, value)
+            second_val = jnp.max(masked, axis=1)
+            bid_inc = best_val - second_val + eps_p
+            bids_on = unassigned[:, None] & (
+                best_idx[:, None] == arange_m[None, :])
+            bid_mat = jnp.where(bids_on, bid_inc[:, None], -jnp.inf)
+            max_bid = jnp.max(bid_mat, axis=0)
+            winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+            has_bid = jnp.isfinite(max_bid)
+            prev_owner = assignment_inv
+            evict = jnp.where(has_bid & (prev_owner >= 0), prev_owner, n)
+            assignment = assignment.at[evict].set(-1, mode="drop")
+            win_item = jnp.where(has_bid, arange_m, -1)
+            win_point = jnp.where(has_bid, winner, n)
+            assignment = assignment.at[win_point].set(win_item, mode="drop")
+            assignment_inv = jnp.where(has_bid, winner, assignment_inv)
+            price = price + jnp.where(has_bid, max_bid, 0.0)
+            return it + 1, assignment, assignment_inv, price
+        return round_fn
+
+    it = jnp.int32(0)
+    price = jnp.zeros((m,), d.dtype)
+    assignment = jnp.full((n,), -1, jnp.int32)
+    for p in range(phases):
+        eps_p = eps * (theta ** (phases - 1 - p))
+        assignment = jnp.full((n,), -1, jnp.int32)
+        assignment_inv = jnp.full((m,), -1, jnp.int32)
+        it, assignment, assignment_inv, price = lax.while_loop(
+            lambda s: (s[0] < iters) & jnp.any(s[1] < 0),
+            make_round(eps_p),
+            (it, assignment, assignment_inv, price))
+
+    value = -d - price[None, :]
+    best_idx = jnp.argmax(value, axis=-1).astype(jnp.int32)
+    return jnp.where(assignment < 0, best_idx, assignment)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def emd_auction(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005,
-                iters: int = 50) -> Tuple[jax.Array, jax.Array]:
-    """Approximate EMD. Returns (dist [B,N] squared, assignment [B,N] int32)."""
-    dist, assignment = _emd_forward(xyz1, xyz2, eps, iters)
+                iters: int = 50,
+                scaled: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Approximate EMD. Returns (dist [B,N] squared, assignment [B,N] int32).
+
+    scaled=False reproduces the reference solver exactly (fixed-iteration
+    Jacobi auction + forced final assignment — the CUDA contract; the train
+    regime eps=0.005/50 stays on this path). scaled=True enables
+    epsilon-scaling + early termination (`_auction_single_scaled`): same
+    N*eps optimality bound, typically ~10-30x fewer rounds at the test
+    regime — the default for the metric protocol in eval/metrics.py."""
+    dist, assignment = _emd_forward(xyz1, xyz2, eps, iters, scaled)
     return dist, assignment
 
 
-def _emd_forward(xyz1, xyz2, eps, iters):
+def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
     d = pairwise_sqdist(xyz1, xyz2)
-    assignment = jax.vmap(lambda dd: _auction_single(dd, eps, iters))(d)
+    B, N, M = d.shape
+    if scaled:
+        from sp_gan_tpu.ops.dispatch import pallas_enabled
+        if pallas_enabled() and N * M * 4 <= (64 << 20):
+            # VMEM-resident solver: whole [N, M] distance block + prices +
+            # owners stay on-core, rounds run at VPU speed (3.2x the
+            # fixed-10000 XLA solver at N=2048 with a valid bijection
+            # instead of the forced final assignment — see
+            # ops/pallas/auction.py)
+            from sp_gan_tpu.ops.pallas.auction import (
+                auction_assignment_pallas)
+            assignment = auction_assignment_pallas(d, eps, iters)
+        else:
+            assignment = jax.vmap(
+                lambda dd: _auction_single_scaled(dd, eps, iters))(d)
+    else:
+        assignment = jax.vmap(lambda dd: _auction_single(dd, eps, iters))(d)
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
     dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
     return dist, assignment
 
 
-def _emd_fwd(xyz1, xyz2, eps, iters):
-    dist, assignment = _emd_forward(xyz1, xyz2, eps, iters)
+def _emd_fwd(xyz1, xyz2, eps, iters, scaled=False):
+    dist, assignment = _emd_forward(xyz1, xyz2, eps, iters, scaled)
     return (dist, assignment), (xyz1, xyz2, assignment)
 
 
-def _emd_bwd(eps, iters, res, g):
+def _emd_bwd(eps, iters, scaled, res, g):
     xyz1, xyz2, assignment = res
     g_dist, _ = g
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
@@ -121,7 +209,7 @@ emd_auction.defvjp(_emd_fwd, _emd_bwd)
 
 
 def emd_cost(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005,
-             iters: int = 50) -> jax.Array:
+             iters: int = 50, scaled: bool = False) -> jax.Array:
     """Mean L2 matching cost per cloud: [B]. (sqrt of per-point sq dists)."""
-    dist, _ = emd_auction(xyz1, xyz2, eps, iters)
+    dist, _ = emd_auction(xyz1, xyz2, eps, iters, scaled)
     return jnp.sqrt(jnp.maximum(dist, 0.0)).mean(axis=-1)

@@ -276,3 +276,50 @@ class TestScatterDiffBwd:
                 k, "float32", (idx, probe), (cot, None))
         np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
                                    atol=1e-4)
+
+
+class TestAuctionPallas:
+    """VMEM-resident EMD auction (epsilon-scaling + early termination) vs
+    the scipy Hungarian optimum."""
+
+    def test_optimal_at_small_n(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from scipy.optimize import linear_sum_assignment
+        from sp_gan_tpu.ops.pallas.auction import auction_assignment_pallas
+        rng = np.random.default_rng(0)
+        B, n = 2, 16
+        x1 = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32) * .3)
+        x2 = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32) * .3)
+        d = pairwise_sqdist(x1, x2)
+        with pltpu.force_tpu_interpret_mode():
+            asg = np.asarray(auction_assignment_pallas(
+                d, eps=0.005, iters=80, phases=3))
+        dn = np.asarray(d)
+        for b in range(B):
+            r, c = linear_sum_assignment(dn[b])
+            opt = dn[b][r, c].sum()
+            got = dn[b][np.arange(n), asg[b]].sum()
+            assert len(set(asg[b])) == n, "not a bijection"
+            # eps-optimality bound: cost <= opt + n * eps
+            assert got <= opt + n * 0.005 + 1e-5, (b, got, opt)
+
+    def test_emd_dispatch_uses_scaled_solver(self):
+        """emd_auction(scaled=True) through the dispatch (interpret mode on
+        CPU drives the pallas path) agrees with the XLA scaled solver."""
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.emd import emd_auction
+        rng = np.random.default_rng(1)
+        x1 = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32) * .3)
+        x2 = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32) * .3)
+        with pltpu.force_tpu_interpret_mode():
+            d_p, _ = emd_auction(x1, x2, 0.005, 80, True)
+        import os
+        os.environ["SPGAN_NO_PALLAS"] = "1"
+        try:
+            d_x, _ = emd_auction(x1, x2, 0.005, 80, True)
+        finally:
+            del os.environ["SPGAN_NO_PALLAS"]
+        # both eps-optimal full matchings; costs agree to the eps bound
+        np.testing.assert_allclose(np.asarray(d_p).sum(-1),
+                                   np.asarray(d_x).sum(-1),
+                                   rtol=0.05, atol=16 * 0.005)
