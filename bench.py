@@ -85,6 +85,18 @@ def main():
     jax.block_until_ready(r)
     emd_evals_per_sec = 3 * gen.shape[0] / (time.perf_counter() - t0)
 
+    # metric-protocol EMD (eps=0.002, converged): VMEM-resident
+    # epsilon-scaling auction (ops/pallas/auction.py); batch of 8 pairs
+    gen8 = batches[0][:8]
+    ref8 = batches[1][:8]
+    emd_m_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.002, 10000, True)[0])
+    emd_m_fn(gen8, ref8).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        r = emd_m_fn(gen8, ref8)
+    jax.block_until_ready(r)
+    emd_metric_per_sec = 2 * gen8.shape[0] / (time.perf_counter() - t0)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):
@@ -100,6 +112,7 @@ def main():
         "points_per_sec": round(points_per_sec),
         "cd_evals_per_sec_96x96": round(cd_evals_per_sec, 1),
         "emd_evals_per_sec_b16": round(emd_evals_per_sec, 1),
+        "emd_metric_solves_per_sec": round(emd_metric_per_sec, 2),
         "device": str(jax.devices()[0]),
     }))
 

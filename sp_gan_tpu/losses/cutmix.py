@@ -54,7 +54,7 @@ def cutmix(
     mask = jnp.where(flip, 1.0 - mask, mask)
 
     # EMD-align fake to real so replacements land in matching locations
-    _, assignment = emd_auction(real, fake, emd_eps, emd_iters)
+    _, assignment = emd_auction(real, fake, emd_eps, emd_iters, True)
     aligned_fake = jnp.take_along_axis(fake, assignment[..., None], axis=1)
     aligned_fake = jax.lax.stop_gradient(aligned_fake)
 

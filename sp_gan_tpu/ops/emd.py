@@ -176,10 +176,15 @@ def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
             # owners stay on-core, rounds run at VPU speed (3.2x the
             # fixed-10000 XLA solver at N=2048 with a valid bijection
             # instead of the forced final assignment — see
-            # ops/pallas/auction.py)
+            # ops/pallas/auction.py). Small caps (train-regime CutMix,
+            # iters<=500) skip the eps-scaling phases: a single phase at
+            # the target eps with early termination is the reference's
+            # own dynamics minus the wasted post-convergence rounds.
             from sp_gan_tpu.ops.pallas.auction import (
                 auction_assignment_pallas)
-            assignment = auction_assignment_pallas(d, eps, iters)
+            phases = 1 if iters <= 500 else 4
+            assignment = auction_assignment_pallas(d, eps, iters,
+                                                   phases=phases)
         else:
             assignment = jax.vmap(
                 lambda dd: _auction_single_scaled(dd, eps, iters))(d)
