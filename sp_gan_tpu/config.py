@@ -128,6 +128,16 @@ class Config:
                                        # data path — amortizes per-dispatch
                                        # relay latency
     steps_per_epoch: Optional[int] = None  # override (for synthetic data / benchmarks)
+    eval_every: int = 0                # epochs between in-loop metric evals
+                                       # (MMD-CD/COV/1NN/JSD of generated vs
+                                       # held-out clouds, logged + eval.jsonl);
+                                       # 0 disables. The reference's only
+                                       # in-training quality signal is sample
+                                       # plots (model.py:304-307) — this is
+                                       # the quantitative upgrade.
+    eval_size: int = 64                # clouds per side for in-loop eval
+    eval_emd: bool = False             # include EMD metrics in in-loop eval
+                                       # (auction solves; much more expensive)
 
     def __post_init__(self):
         if self.bn_stats not in ("global", "per_shard"):

@@ -36,7 +36,7 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
     it = iter(iterator)
     for batch in it:
         stage(batch)
-        if len(queue) > size:
+        if len(queue) >= size:
             yield queue.popleft()
     while queue:
         yield queue.popleft()

@@ -186,8 +186,15 @@ def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
             assignment = auction_assignment_pallas(d, eps, iters,
                                                    phases=phases)
         else:
+            # Same phase heuristic as the pallas path: small caps (train-
+            # regime CutMix, iters<=500) run a single phase at the target
+            # eps — with 4 coarse phases a small TOTAL budget could be
+            # exhausted before the final phase ran any rounds, degrading
+            # the result to all-forced assignments.
+            phases = 1 if iters <= 500 else 4
             assignment = jax.vmap(
-                lambda dd: _auction_single_scaled(dd, eps, iters))(d)
+                lambda dd: _auction_single_scaled(dd, eps, iters,
+                                                  phases=phases))(d)
     else:
         assignment = jax.vmap(lambda dd: _auction_single(dd, eps, iters))(d)
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)

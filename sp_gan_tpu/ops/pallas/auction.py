@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, *,
+def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
                     n: int, m: int, eps: float, iters: int, phases: int,
                     theta: float):
     d = d_ref[0]                                             # [N, M] f32
@@ -52,6 +52,7 @@ def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, *,
     row_n = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)   # point ids
     # scratch persists across grid steps (pairs): reset per pair
     price_ref[:] = jnp.zeros((m,), jnp.float32)
+    it_ref[0] = 0
 
     def unassigned_mask(owner):
         # point p assigned iff some item's owner == p; owner rides lanes
@@ -83,14 +84,20 @@ def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, *,
 
         owner_ref[:] = jnp.where(has_bid, winner, owner)
         price_ref[:] = price + jnp.where(has_bid, max_bid, 0.0)
+        it_ref[0] = it_ref[0] + 1
 
+    # `iters` caps TOTAL rounds across all phases (same semantics as the
+    # XLA `_auction_single_scaled` and the CUDA contract's iteration
+    # budget); `it_ref` is the cumulative counter. In practice the
+    # eps-scaling phases early-terminate after a few hundred rounds, far
+    # below the test-regime cap.
     for p in range(phases):
         eps_p = eps * (theta ** (phases - 1 - p))
         owner_ref[:] = jnp.full((m,), -1, jnp.int32)
         flag_ref[0] = n
 
         def body(i, carry, eps_p=eps_p):
-            @pl.when(flag_ref[0] > 0)
+            @pl.when((flag_ref[0] > 0) & (it_ref[0] < iters))
             def _():
                 one_round(eps_p)
             return carry
@@ -129,6 +136,7 @@ def auction_assignment_pallas(d: jax.Array, eps: float = 0.002,
             pltpu.VMEM((M,), jnp.float32),       # price
             pltpu.VMEM((M,), jnp.int32),         # owner
             pltpu.SMEM((1,), jnp.int32),         # unassigned count
+            pltpu.SMEM((1,), jnp.int32),         # cumulative round counter
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * N * M * 20 * min(iters, 4000), transcendentals=0,

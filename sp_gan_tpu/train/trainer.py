@@ -81,13 +81,23 @@ class Trainer:
                                           mesh=self.mesh)
         self.sample_fn = make_sample_fn(cfg, self.G, self.sphere,
                                         use_ema=cfg.ema)
+        self.sample_raw = (make_sample_fn(cfg, self.G, self.sphere,
+                                          use_ema=False)
+                           if cfg.ema else self.sample_fn)
         self.start_epoch = 1
         if cfg.restore:
-            path = latest_checkpoint(cfg.log_dir)
-            if path:
-                self.state, epoch = load_checkpoint(path, self.state)
+            if cfg.pretrain_model_G:
+                # reference model.py:189-195: --restore with explicit
+                # checkpoint names warm-starts from those files
+                epoch = self._warm_start(cfg.pretrain_model_G,
+                                         cfg.pretrain_model_D)
                 self.start_epoch = epoch + 1
-                self.log(f"[*] restored {path} (epoch {epoch})")
+            else:
+                path = latest_checkpoint(cfg.log_dir)
+                if path:
+                    self.state, epoch = load_checkpoint(path, self.state)
+                    self.start_epoch = epoch + 1
+                    self.log(f"[*] restored {path} (epoch {epoch})")
 
         # fixed z for periodic sample grids (model.py:232)
         self.fix_z = sample_z(jax.random.PRNGKey(cfg.seed + 1), 64, cfg.np,
@@ -101,6 +111,115 @@ class Trainer:
         self._log_fout.write(msg + "\n")
         self._log_fout.flush()
         print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def _warm_start(self, g_path: str, d_path: Optional[str] = None) -> int:
+        """`--restore --pretrain_model_G <f>` (reference model.py:189-195):
+        warm-start from named checkpoint files instead of the newest
+        snapshot. `.pth` files are reference torch checkpoints run through
+        the compat converter (fresh optimizer state, like the reference's
+        D-side restore); `.pkl` files are this framework's own checkpoints
+        (full state incl. both optimizers)."""
+        cfg = self.cfg
+
+        def resolve(p):
+            # reference joins log_dir with the flag value (model.py:470)
+            if p and not os.path.exists(p) and \
+                    os.path.exists(os.path.join(cfg.log_dir, p)):
+                return os.path.join(cfg.log_dir, p)
+            return p
+
+        g_path, d_path = resolve(g_path), resolve(d_path)
+        if g_path.endswith(".pth"):
+            from sp_gan_tpu.compat import load_reference_checkpoint
+            (g_params, g_stats), d, epoch = load_reference_checkpoint(
+                g_path, cfg, d_path)
+            state = self.state.replace(g_params=g_params, g_stats=g_stats)
+            if d is not None:
+                state = state.replace(d_params=d[0], d_stats=d[1])
+            if state.g_ema is not None:
+                state = state.replace(
+                    g_ema=jax.tree.map(jnp.asarray, g_params))
+            self.state = state
+            self.log(f"[*] warm-start from reference checkpoint {g_path}"
+                     + (f" + {d_path}" if d_path else "")
+                     + f" (epoch {epoch})")
+            return epoch
+        self.state, epoch = load_checkpoint(g_path, self.state)
+        self.log(f"[*] restored {g_path} (epoch {epoch})")
+        return epoch
+
+    # ------------------------------------------------------------------
+    def evaluate(self, epoch: int, global_step: int) -> dict:
+        """In-loop quality evaluation: MMD-CD / COV-CD / 1NN-CD / JSD of
+        `eval_size` generated clouds against a fixed held-out draw from the
+        data distribution, for raw and (when enabled) EMA generator weights.
+        Results go to the log and `log_dir/eval.jsonl`.
+
+        The reference's only in-training quality monitor is periodic sample
+        plots (`/root/reference/Generation/model.py:304-307,371-410`); this
+        runs the quantitative protocol (`Common/loss_utils.py:430-463`)
+        on-device at snapshot cadence instead. Clouds are unit-sphere
+        normalized before CD (the probe methodology of BASELINE.md, so
+        numbers are comparable across rounds); JSD uses the 0.5-scaled
+        clouds the reference protocol expects inside the voxel cube."""
+        import json
+
+        from sp_gan_tpu.data.augment import normalize_point_cloud
+        from sp_gan_tpu.eval.metrics import (
+            coverage,
+            jsd,
+            knn_two_sample,
+            mmd,
+            pairwise_cd_matrix,
+            pairwise_emd_matrix,
+        )
+
+        cfg = self.cfg
+        n = min(cfg.eval_size, len(self.dataset))
+        if not hasattr(self, "_eval_ref"):
+            ref_rng = np.random.default_rng(cfg.seed + 999)
+            idx = np.sort(ref_rng.choice(len(self.dataset), n, replace=False))
+            ref = np.asarray(self.dataset.data[idx], np.float32)
+            self._eval_ref = np.asarray(normalize_point_cloud(ref))
+            self._eval_tt = np.asarray(pairwise_cd_matrix(
+                jnp.asarray(self._eval_ref), jnp.asarray(self._eval_ref)))
+            self._eval_tt_emd = None
+        ref = self._eval_ref
+
+        record = {"epoch": epoch, "step": global_step}
+        variants = [("ema", self.sample_fn), ("raw", self.sample_raw)] \
+            if cfg.ema else [("raw", self.sample_fn)]
+        for name, fn in variants:
+            outs = []
+            key = jax.random.PRNGKey(cfg.seed + 777)
+            for lo in range(0, n, 32):
+                key, kz = jax.random.split(key)
+                z = sample_z(kz, min(32, n - lo), cfg.np, cfg.nz, cfg.nv,
+                             cfg.n_rand)
+                outs.append(np.asarray(fn(self.state, z)))
+            gen = np.asarray(normalize_point_cloud(
+                np.concatenate(outs)[:n]))
+            gj, rj = jnp.asarray(gen), jnp.asarray(ref)
+            gg = np.asarray(pairwise_cd_matrix(gj, gj))
+            gt = np.asarray(pairwise_cd_matrix(gj, rj))
+            m = {"MMD-CD": mmd(gt), "COV-CD": coverage(gt),
+                 "1NN-CD": knn_two_sample(gg, gt, self._eval_tt),
+                 "JSD": jsd(0.5 * gen, 0.5 * ref, warn=False)}
+            if cfg.eval_emd:
+                if self._eval_tt_emd is None:
+                    self._eval_tt_emd = pairwise_emd_matrix(rj, rj)
+                gg_e = pairwise_emd_matrix(gj, gj)
+                gt_e = pairwise_emd_matrix(gj, rj)
+                m.update({"MMD-EMD": mmd(gt_e), "COV-EMD": coverage(gt_e),
+                          "1NN-EMD": knn_two_sample(gg_e, gt_e,
+                                                    self._eval_tt_emd)})
+            record[name] = m
+            self.log("EVAL epoch=%d step=%d [%s] " % (epoch, global_step, name)
+                     + " ".join(f"{k}={v:.5f}" for k, v in m.items()))
+        with open(os.path.join(cfg.log_dir, "eval.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+        return record
 
     # ------------------------------------------------------------------
     def _device_data_step(self):
@@ -227,6 +346,8 @@ class Trainer:
                                            d_meter.avg, g_meter.avg))
                 self.log("real_acc: %f  fake_acc: %f"
                          % (ra_meter.avg, fa_meter.avg))
+                if cfg.eval_every and epoch % cfg.eval_every == 0:
+                    self.evaluate(epoch, global_step)
                 if epoch % cfg.snapshot == 0:
                     save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
                 continue
@@ -266,6 +387,8 @@ class Trainer:
                      % (epoch, dt / 60, dt % 60, d_meter.avg, g_meter.avg))
             self.log("real_acc: %f  fake_acc: %f" % (ra_meter.avg, fa_meter.avg))
 
+            if cfg.eval_every and epoch % cfg.eval_every == 0:
+                self.evaluate(epoch, global_step)
             if epoch % cfg.snapshot == 0:
                 save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
 

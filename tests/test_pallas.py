@@ -303,23 +303,54 @@ class TestAuctionPallas:
             # eps-optimality bound: cost <= opt + n * eps
             assert got <= opt + n * 0.005 + 1e-5, (b, got, opt)
 
-    def test_emd_dispatch_uses_scaled_solver(self):
-        """emd_auction(scaled=True) through the dispatch (interpret mode on
-        CPU drives the pallas path) agrees with the XLA scaled solver."""
+    def test_emd_dispatch_uses_scaled_solver(self, monkeypatch):
+        """emd_auction(scaled=True) through the dispatch with the pallas
+        branch forced on (pallas_enabled returns False on the CPU backend,
+        so monkeypatch it and run the kernel in interpret mode) agrees with
+        the XLA scaled solver."""
         from jax.experimental.pallas import tpu as pltpu
+        import sp_gan_tpu.ops.dispatch as dispatch
         from sp_gan_tpu.ops.emd import emd_auction
         rng = np.random.default_rng(1)
         x1 = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32) * .3)
         x2 = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32) * .3)
+        monkeypatch.setattr(dispatch, "pallas_enabled", lambda: True)
         with pltpu.force_tpu_interpret_mode():
             d_p, _ = emd_auction(x1, x2, 0.005, 80, True)
-        import os
-        os.environ["SPGAN_NO_PALLAS"] = "1"
-        try:
-            d_x, _ = emd_auction(x1, x2, 0.005, 80, True)
-        finally:
-            del os.environ["SPGAN_NO_PALLAS"]
+        monkeypatch.setattr(dispatch, "pallas_enabled", lambda: False)
+        d_x, _ = emd_auction(x1, x2, 0.005, 80, True)
         # both eps-optimal full matchings; costs agree to the eps bound
         np.testing.assert_allclose(np.asarray(d_p).sum(-1),
                                    np.asarray(d_x).sum(-1),
                                    rtol=0.05, atol=16 * 0.005)
+
+    def test_small_total_cap_single_phase_fallback(self):
+        """ADVICE r2 medium: with a small TOTAL budget (CutMix train regime)
+        the XLA fallback must run a single phase at the target eps — not
+        burn the budget on coarse phases and force-assign everything. The
+        result must stay a near-bijection with near-optimal cost."""
+        import os
+        from scipy.optimize import linear_sum_assignment
+        from sp_gan_tpu.ops.emd import emd_auction
+        rng = np.random.default_rng(7)
+        n = 24
+        x1 = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32) * .3)
+        x2 = jnp.asarray(rng.standard_normal((2, n, 3)).astype(np.float32) * .3)
+        os.environ["SPGAN_NO_PALLAS"] = "1"
+        try:
+            d, asg = emd_auction(x1, x2, 0.005, 50, True)
+        finally:
+            del os.environ["SPGAN_NO_PALLAS"]
+        dn = np.asarray(pairwise_sqdist(x1, x2))
+        asg = np.asarray(asg)
+        for b in range(2):
+            r, c = linear_sum_assignment(dn[b])
+            opt = dn[b][r, c].sum()
+            got = dn[b][np.arange(n), asg[b]].sum()
+            # Single phase at the target eps under a tight budget: at most a
+            # couple of unresolved conflicts and near-optimal cost. The
+            # broken 4-phase path burned the whole budget on coarse phases
+            # and force-assigned EVERY point to argmax(-d - price) — a
+            # heavily many-to-one matching.
+            assert len(set(asg[b])) >= n - 2, "near-bijection violated"
+            assert got <= opt * 1.5 + n * 0.005, (b, got, opt)

@@ -107,6 +107,83 @@ class TestTrainer:
         assert tr._chunk_step is c1
 
 
+class TestInLoopEval:
+    def test_eval_hook_writes_metrics(self, tmp_path):
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=2, snapshot=2,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     eval_every=1, eval_size=6)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        tr.train()
+        path = os.path.join(cfg.log_dir, "eval.jsonl")
+        assert os.path.exists(path)
+        records = [json.loads(l) for l in open(path)]
+        assert len(records) == 2
+        for rec in records:
+            m = rec["raw"]
+            for key in ("MMD-CD", "COV-CD", "1NN-CD", "JSD"):
+                assert np.isfinite(m[key]), (key, m)
+        assert records[0]["epoch"] == 1 and records[1]["epoch"] == 2
+        # log_train.txt carries the EVAL lines too
+        log = open(os.path.join(cfg.log_dir, "log_train.txt")).read()
+        assert "EVAL epoch=1" in log
+
+    def test_eval_hook_ema_and_raw(self, tmp_path):
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     eval_every=1, eval_size=6, ema=True)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        tr.train()
+        rec = json.loads(open(
+            os.path.join(cfg.log_dir, "eval.jsonl")).readline())
+        assert "ema" in rec and "raw" in rec
+        assert np.isfinite(rec["ema"]["MMD-CD"])
+
+
+class TestWarmStart:
+    def test_pretrain_model_g_d_warm_start(self, tmp_path):
+        """--restore --pretrain_model_G/D x.pth loads converted reference
+        weights and continues training (reference model.py:189-195)."""
+        import torch
+
+        from tests.test_torch_parity import TDiscriminator, TGenerator
+
+        tg = TGenerator(nz=16, k=4).eval()
+        td = TDiscriminator().eval()
+        g_path = str(tmp_path / "300_Chair_G.pth")
+        d_path = str(tmp_path / "300_Chair_D.pth")
+        torch.save({"G_model": tg.state_dict(), "G_epoch": 300}, g_path)
+        torch.save({"D_model": td.state_dict(), "D_epoch": 300}, d_path)
+
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=301, snapshot=301,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     restore=True, pretrain_model_G=g_path,
+                     pretrain_model_D=d_path, dtype="float32")
+        ds = SyntheticDataset(n_items=8, n_points=32)
+        tr = Trainer(cfg, dataset=ds)
+        assert tr.start_epoch == 301
+        # imported weights actually installed
+        w_ref = tg.state_dict()["head.0.weight"].numpy()[:, :, 0].T
+        np.testing.assert_allclose(
+            np.asarray(tr.state.g_params["head1"]["kernel"]), w_ref,
+            atol=1e-6)
+        state = tr.train()          # one epoch from the warm start
+        assert int(state.step) == 2
+
+    def test_pretrain_model_resolves_relative_to_log_dir(self, tmp_path):
+        """Bare filenames resolve against log_dir, like the reference's
+        os.path.join(log_dir, pretrain_model_G) (model.py:470)."""
+        run = tmp_path / "run"
+        cfg0 = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
+                      log_dir=str(run), donate_state=False)
+        ds = SyntheticDataset(n_items=8, n_points=32)
+        Trainer(cfg0, dataset=ds).train()
+        ckpts = sorted(f for f in os.listdir(run) if f.endswith(".pkl"))
+        cfg = cfg0.replace(restore=True, pretrain_model_G=ckpts[-1],
+                           max_epoch=2)
+        tr = Trainer(cfg, dataset=ds)
+        assert tr.start_epoch == 2
+
+
 class TestEpochMeters:
     def test_epoch_summaries_use_fresh_meters(self, tmp_path):
         """Short epochs (fewer steps than log_every) rely on the final-step
