@@ -52,6 +52,12 @@ class Config:
     lambda_gp: float = 10.0            # gradient-penalty weight (used when gan='wgan')
     mix: bool = False                  # CutMix regularization for D (loss_utils.py:1025-1075)
     mix_emd_iters: int = 50            # auction iters for CutMix alignment
+    gp_mapping: bool = False           # WGAN-GP interpolates between EMD-
+                                       # paired real/fake points instead of
+                                       # random pairs (GradientPenalty
+                                       # mapping=True, loss_utils.py:1102-1120)
+    gp_emd_iters: int = 300            # auction iters for --gp_mapping
+                                       # (reference uses eps=0.005/300)
 
     # --- optimization (reference: config.py:57-60, model.py:94-110) ---
     lr_g: float = 1e-4

@@ -35,12 +35,32 @@ def wgan_gp(
     rng: Array,
     lambda_gp: float = 10.0,
     gamma: float = 1.0,
+    emd_pairing: bool = False,
+    emd_eps: float = 0.005,
+    emd_iters: int = 300,
 ) -> Array:
     """WGAN-GP on random interpolates (`GradientPenalty.__call__`,
-    loss_utils.py:1083-1131): lambda * E[(||∇D(x_hat)||/gamma - 1)^2]."""
+    loss_utils.py:1083-1131): lambda * E[(||∇D(x_hat)||/gamma - 1)^2].
+
+    emd_pairing=True is the reference's `mapping=True` branch
+    (loss_utils.py:1102-1120): match each fake point to a real point through
+    the EMD auction assignment (eps=0.005, 300 iters there), permute the
+    real cloud into fake order, and interpolate the *paired* points —
+    interpolates stay on plausible shapes instead of blending unrelated
+    points. The assignment is a piecewise-constant integer map (no gradient
+    flows through it; the reference's `ass.long()` likewise detaches)."""
     B = real.shape[0]
     alpha = jax.random.uniform(rng, (B, 1, 1), dtype=real.dtype)
-    interp = fake + alpha * (real - fake)
+    if emd_pairing:
+        from sp_gan_tpu.ops.emd import emd_auction
+
+        _, ass = emd_auction(fake, real, emd_eps, emd_iters)
+        real_paired = jnp.take_along_axis(
+            real, jax.lax.stop_gradient(ass)[..., None], axis=1)
+        # reference orientation: alpha*fake + (1-alpha)*real[ass]
+        interp = real_paired + alpha * (fake - real_paired)
+    else:
+        interp = fake + alpha * (real - fake)
 
     def d_sum(x):
         return d_apply(x).sum()

@@ -131,7 +131,9 @@ def make_train_step(
             d_stats_out = mut2["batch_stats"]
             if use_gp:
                 d_only = lambda pts: d_forward(d_params, state.d_stats, pts)[0]
-                loss = loss + wgan_gp(d_only, real, fake, k_gp, cfg.lambda_gp)
+                loss = loss + wgan_gp(d_only, real, fake, k_gp, cfg.lambda_gp,
+                                      emd_pairing=cfg.gp_mapping,
+                                      emd_iters=cfg.gp_emd_iters)
             if cfg.mix:
                 # CutMix regularization (reference --mix intent): EMD-aligned
                 # real/fake splices labeled fake.

@@ -30,12 +30,27 @@ torch.manual_seed(0)
 # ----------------------------------------------------------------- torch ref
 def torch_edge_features(x: torch.Tensor, k: int) -> torch.Tensor:
     """[B,C,N] -> [B,2C,N,k]: sorted-ascending kNN excluding self, edge feats
-    [central, nbr-central] — the reference get_edge_features contract."""
+    [central, nbr-central] — the reference get_edge_features contract.
+
+    Honors SPGAN_KNN_STABLE (the sort-stable tie-break parity mode of
+    `ops.pairwise.knn_indices`): identical bucketed ordering on both sides
+    makes near-tie neighbor order implementation-independent, so parity can
+    run at full N."""
+    from sp_gan_tpu.ops.pairwise import stable_knn_grid
+
     B, C, N = x.shape
     xt = x.transpose(1, 2)                                  # [B,N,C]
     d = (xt.pow(2).sum(-1, keepdim=True)
          - 2 * xt @ x + x.pow(2).sum(1, keepdim=True))      # [B,N,N]
-    idx = d.argsort(dim=2)[:, :, 1:k + 1]                   # [B,N,k]
+    grid = stable_knn_grid()
+    if grid:
+        d = d.masked_fill(torch.eye(N, dtype=torch.bool), float("inf"))
+        mean_d = d[torch.isfinite(d)].mean()
+        scale = 2.0 ** torch.round(torch.log2(mean_d))
+        bucket = torch.floor(d / (grid * scale))
+        idx = bucket.argsort(dim=2, stable=True)[:, :, :k]
+    else:
+        idx = d.argsort(dim=2)[:, :, 1:k + 1]               # [B,N,k]
     nbrs = torch.gather(
         xt.unsqueeze(2).expand(B, N, k, C), 1,
         idx.unsqueeze(-1).expand(B, N, k, C))
@@ -175,6 +190,30 @@ class TestGeneratorParity:
                           mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(ours), ref.transpose(0, 2, 1),
                                    atol=2e-4)
+
+
+class TestFullNParity:
+    def test_generator_forward_matches_at_full_n(self, rng, monkeypatch):
+        """Parity at the production N=2048 (VERDICT r2 weak-6): with the
+        sort-stable tie-break active on both sides, feature-space kNN
+        near-ties order identically and the forward agrees to 1e-3 (without
+        it, order flips among equal-distance neighbors drove the max diff to
+        5.3e-2 — BASELINE.md dress rehearsal)."""
+        monkeypatch.setenv("SPGAN_KNN_STABLE", "1")
+        cfg2k = Config(np=2048, nk=20, nz=128, dtype="float32",
+                       use_pallas=False)
+        tg = TGenerator(cfg2k.nz, cfg2k.k).eval()
+        params, stats = convert_generator(tg.state_dict(), cfg2k)
+        x = rng.standard_normal((1, cfg2k.np, 3)).astype(np.float32)
+        z = (0.2 * rng.standard_normal((1, 1, cfg2k.nz))).astype(np.float32)
+        z = np.broadcast_to(z, (1, cfg2k.np, cfg2k.nz)).copy()
+        with torch.no_grad():
+            ref = tg(torch.tensor(x), torch.tensor(z)).numpy()
+        G = Generator(cfg2k)
+        ours = G.apply({"params": params, "batch_stats": stats},
+                       jnp.array(x), jnp.array(z), train=False)
+        np.testing.assert_allclose(np.asarray(ours), ref.transpose(0, 2, 1),
+                                   atol=1e-3)
 
 
 class TestDiscriminatorParity:
