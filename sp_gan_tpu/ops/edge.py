@@ -107,10 +107,27 @@ def _use_fused_knn_edge(x: jax.Array) -> bool:
             and C >= 16)                 # tiny-C tensors are faster in XLA
 
 
+def _knn_modes():
+    """Probe knobs for the fused kernel's distance precision and selection
+    strategy (A/B'd via full-program step rates — see BASELINE.md r3):
+    SPGAN_DIST_MODE in {highest, bf16_3x}, SPGAN_KNN_SELECT in
+    {packed, exact}. Read at trace time.
+
+    Defaults from the r3 A/B (24-iter chunked runs, bs=24 N=2048):
+    packed 39.3 vs exact 38.8 steps/s (single int-min reduce per selection
+    round); bf16_3x 38.0 — the 3-pass distance matmul is NOT a win over
+    6-pass HIGHEST (confirms the r2 negative with full-program numbers)."""
+    import os
+    return (os.environ.get("SPGAN_DIST_MODE", "highest"),
+            os.environ.get("SPGAN_KNN_SELECT", "packed"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _knn_edge(x: jax.Array, k: int, out_dtype):
     from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
-    return knn_edge_pallas(x, k, out_dtype)
+    dist_mode, select_mode = _knn_modes()
+    return knn_edge_pallas(x, k, out_dtype, dist_mode=dist_mode,
+                           select_mode=select_mode)
 
 
 def _knn_edge_fwd(x, k, out_dtype):
@@ -150,7 +167,9 @@ def _knn_edge_diff(x: jax.Array, k: int, out_dtype):
     from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
     # tq=512: ~15% faster than 256 for the diff-only variant on v5e
     # (amortized 64-deep scan sweep, r2); 1024 regresses 2x (VMEM pressure)
-    return knn_edge_pallas(x, k, out_dtype, tq=512, diff_only=True)
+    dist_mode, select_mode = _knn_modes()
+    return knn_edge_pallas(x, k, out_dtype, tq=512, diff_only=True,
+                           dist_mode=dist_mode, select_mode=select_mode)
 
 
 def _knn_edge_diff_fwd(x, k, out_dtype):

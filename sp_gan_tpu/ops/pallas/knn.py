@@ -176,7 +176,8 @@ def _dist_cross(queries, keys, mode: str):
 
 def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
                      c: int, cd, diff_only: bool = False,
-                     dist_mode: str = "highest"):
+                     dist_mode: str = "highest",
+                     select_mode: str = "exact"):
     """kNN selection + neighbor gather + edge-feature construction in one
     sweep: the per-round argmin's one-hot mask doubles as the gather matrix
     (one-hot @ keys on the MXU — entries exactly 1.0, so the gather is
@@ -220,6 +221,42 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT)
+
+    if select_mode == "packed":
+        # Single-reduce selection: bitcast the (non-negative) f32 distances
+        # to int32 — monotonic for non-negative floats — truncate the low
+        # ceil(log2 n) mantissa bits and pack the column index there. One
+        # int-min reduce per round then yields BOTH the (quantized) min and
+        # its argmin, with exact lowest-index tie-breaking inside a bucket.
+        # Contract change vs "exact": neighbors whose distances agree to
+        # within ~n ulps (relative ~n*2^-24 ≈ 1.2e-4 at n=2048) order by
+        # index instead of by sub-quantum value — the regime where f32
+        # rounding already scrambles order. Guarded by the agreement test
+        # in tests/test_pallas.py (TestKnnEdgePacked).
+        bits = max((n - 1).bit_length(), 1)
+        low_mask = (1 << bits) - 1
+        d_pos = jnp.maximum(dist, 0.0)                      # [TQ, N] f32
+        d_int = pltpu.bitcast(d_pos, jnp.int32)
+        packed = (d_int & ~low_mask) | col_ids
+        big = jnp.int32(2 ** 31 - 1)
+        for j in range(k):
+            pm = jnp.min(packed, axis=1)                    # [TQ] int32
+            a = pm & low_mask
+            oh = col_ids == a[:, None]
+            ohb = oh.astype(bf16)
+            nbr = mm(ohb, key_parts[0])
+            for part in key_parts[1:]:
+                nbr += mm(ohb, part)
+            nbr = nbr.astype(cd)
+            idx_ref[0, :, j] = a
+            if diff_only:
+                ee_ref[0, :, j * c:(j + 1) * c] = nbr - central
+            else:
+                ee_ref[0, :, j, :] = jnp.concatenate(
+                    [central, nbr - central], axis=-1)
+            packed = jnp.where(oh, big, packed)
+        return
+
     for j in range(k):
         a = jnp.argmin(dist, axis=1).astype(jnp.int32)      # [TQ]
         oh = col_ids == a[:, None]                          # [TQ, N]
@@ -242,9 +279,10 @@ def _knn_edge_kernel(x_ref, ee_ref, idx_ref, *, k: int, tq: int, n: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tq", "out_dtype", "diff_only",
-                                    "dist_mode"))
+                                    "dist_mode", "select_mode"))
 def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
-                    diff_only: bool = False, dist_mode: str = "highest"):
+                    diff_only: bool = False, dist_mode: str = "highest",
+                    select_mode: str = "exact"):
     """x: [B, N, C] -> (ee [B, N, k, 2C] in out_dtype (default x.dtype),
     idx [B, N, k] int32). Fused kNN (self-excluded, ascending) + edge
     features [central, nbr - central] — see `_knn_edge_kernel`. With
@@ -270,7 +308,8 @@ def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
                             memory_space=pltpu.VMEM))
     ee_shape = (B, N, k * C) if diff_only else (B, N, k, ec)
     kernel = functools.partial(_knn_edge_kernel, k=k, tq=tq, n=N, c=C, cd=cd,
-                               diff_only=diff_only, dist_mode=dist_mode)
+                               diff_only=diff_only, dist_mode=dist_mode,
+                               select_mode=select_mode)
     ee, idx = pl.pallas_call(
         kernel,
         grid=grid,

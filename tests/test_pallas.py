@@ -192,6 +192,52 @@ class TestKnnEdgeFused:
                                    rtol=2e-5, atol=2e-5)
 
 
+class TestKnnEdgePacked:
+    """Packed int32 single-reduce selection (r3 default, SPGAN_KNN_SELECT):
+    quantized-distance contract — disagreements vs the exact path allowed
+    ONLY on near-ties inside one quantization bucket."""
+
+    def test_agreement_and_neartie_guard(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+        from sp_gan_tpu.ops.pairwise import pairwise_sqdist
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 256, 32)).astype(np.float32))
+        k = 6
+        with pltpu.force_tpu_interpret_mode():
+            _, idx_e = knn_edge_pallas(x, k, tq=64)
+            _, idx_p = knn_edge_pallas(x, k, tq=64, select_mode="packed")
+        ie, ip = np.asarray(idx_e), np.asarray(idx_p)
+        agree = (ie == ip).mean()
+        assert agree > 0.995, agree
+        # every disagreement must be a near-tie: the packed pick's distance
+        # within one quantization bucket (~n ulps ≈ n*2^-24 relative) of
+        # the exact pick's
+        d = np.asarray(pairwise_sqdist(x, x))
+        n = x.shape[1]
+        rel_bound = n * 2.0 ** -24 * 4  # bucket + headroom
+        b, q, j = np.nonzero(ie != ip)
+        de = d[b, q, ie[b, q, j]]
+        dp = d[b, q, ip[b, q, j]]
+        assert np.all(np.abs(dp - de) <= rel_bound * np.maximum(de, 1e-6) +
+                      1e-7), "packed selection flipped a non-near-tie"
+
+    def test_packed_neighbor_sets_match_exact(self):
+        """Order may differ inside a bucket; the selected SET of k
+        neighbors must still agree up to near-tie swaps at the k boundary
+        (here: identical sets on well-separated random data)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_pallas
+        rng = np.random.default_rng(3)
+        # well-separated: scale up so all gaps >> bucket width
+        x = jnp.asarray(
+            (rng.standard_normal((2, 128, 16)) * 3).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            _, idx_e = knn_edge_pallas(x, 5, tq=64)
+            _, idx_p = knn_edge_pallas(x, 5, tq=64, select_mode="packed")
+        np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_p))
+
+
 class TestKnnBlocked:
     """Key-blocked large-N kNN (VERDICT r1 #10) — exact vs the dense oracle."""
 
