@@ -96,6 +96,15 @@ class Config:
     remat: bool = False                # rematerialize EdgeBlocks in the backward
     mesh_shape: Sequence[int] = (1,)   # device mesh, axis names below
     mesh_axes: Sequence[str] = ("data",)
+    data_axis: Optional[str] = None    # set internally by the point-sharded
+                                       # train step (shard_map axis names for
+                                       # cross-shard batch statistics); None
+                                       # on the GSPMD data-parallel path
+    points_axis: Optional[str] = None  # set internally when the point axis is
+                                       # sharded: layers switch to shard-local
+                                       # kNN/edge ops + explicit collectives
+                                       # (instance-norm psum, global-max
+                                       # all_gather) — parallel/points.py
     use_pallas: bool = True            # fused Pallas kernels where available
     fused_train: bool = False          # fused train-mode EdgeBlock kernels in
                                        # the G step (pallas; default-arch only)

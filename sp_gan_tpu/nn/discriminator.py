@@ -23,10 +23,17 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        """x: [B, N, 3] -> logits [B, 1] (always float32)."""
-        dtype = jnp.bfloat16 if self.cfg.d_bf16 else jnp.float32
+        """x: [B, N, 3] -> logits [B, 1] (always float32). Under the
+        point-sharded step (cfg.points_axis) the trunk runs on the local
+        point slice; BN statistics pmean across shards and the max pool
+        all-gathers the per-shard maxima (everything after it is per-cloud
+        and replicated across point shards)."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.d_bf16 else jnp.float32
+        bn_axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
         bn = lambda name, v: SPBatchNorm(
-            name=name, groups=self.cfg.bn_groups)(v, train=train)
+            name=name, groups=cfg.bn_groups, axis_names=bn_axes)(
+            v, train=train)
 
         h = x.astype(dtype)
         for i, width in enumerate((64, 128, 256)):
@@ -37,7 +44,11 @@ class Discriminator(nn.Module):
         h = TorchDense(dim, name="fc2")(h)
         h = nn.leaky_relu(bn("bn_fc2", h), NEG)
 
-        h = jnp.max(h, axis=1).astype(jnp.float32)     # adaptive max pool
+        if cfg.points_axis is not None and not self.is_initializing():
+            from sp_gan_tpu.parallel.points import global_max_points
+            h = global_max_points(h, cfg.points_axis).astype(jnp.float32)
+        else:
+            h = jnp.max(h, axis=1).astype(jnp.float32)  # adaptive max pool
 
         for i, width in enumerate((512, 256, 64)):
             h = nn.leaky_relu(TorchDense(width, name=f"head{i + 1}")(h), NEG)

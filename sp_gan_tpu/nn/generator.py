@@ -120,6 +120,18 @@ class Generator(nn.Module):
             # bf16 confined to the EdgeBlock internals (the HBM-bound edge
             # tensors); the trunk, norms, losses and gradients stay f32
             eb_kwargs["mixed"] = True
+        bn_axes = ()
+        if cfg.points_axis is not None:
+            # point-sharded step (shard_map): shard-local edge ops, explicit
+            # collectives for every cross-point statistic
+            assert not cfg.attn, \
+                "global attention is not supported with point sharding"
+            bn_axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
+            eb_kwargs["points_axis"] = cfg.points_axis
+            eb_kwargs["bn_axes"] = bn_axes
+        elif cfg.data_axis is not None:
+            bn_axes = (cfg.data_axis,)
+            eb_kwargs["bn_axes"] = bn_axes
         if eb_kwargs:
             EB = functools.partial(EB, **eb_kwargs)
         if cfg.use_head:
@@ -134,21 +146,29 @@ class Generator(nn.Module):
         else:
             x1 = edge1(pc, train, edge1_idx, edge1_ee)
             x1 = nn.leaky_relu(x1, NEG2)
-        x1 = AdaptivePointNorm(c1_out, name="adain1")(x1, style)
+        x1 = AdaptivePointNorm(c1_out, name="adain1",
+                               points_axis=cfg.points_axis)(x1, style)
 
         x2 = EB(c1_out, dim, k, name="edge2")(x1, train)
         x2 = nn.leaky_relu(x2, NEG2)
-        x2 = AdaptivePointNorm(dim, name="adain2")(x2, style)
+        x2 = AdaptivePointNorm(dim, name="adain2",
+                               points_axis=cfg.points_axis)(x2, style)
 
         # --- global branch ---
         from sp_gan_tpu.nn.layers import SPBatchNorm
-        feat_global = jnp.max(x2, axis=1)                       # [B, dim]
+        if cfg.points_axis is not None and not self.is_initializing():
+            from sp_gan_tpu.parallel.points import global_max_points
+            feat_global = global_max_points(x2, cfg.points_axis)  # [B, dim]
+        else:
+            feat_global = jnp.max(x2, axis=1)                     # [B, dim]
         feat_global = Dense(dim, name="global1")(feat_global)
-        feat_global = SPBatchNorm(name="global_bn1", groups=cfg.bn_groups)(
+        feat_global = SPBatchNorm(name="global_bn1", groups=cfg.bn_groups,
+                                  axis_names=bn_axes)(
             feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = Dense(512, name="global2")(feat_global)
-        feat_global = SPBatchNorm(name="global_bn2", groups=cfg.bn_groups)(
+        feat_global = SPBatchNorm(name="global_bn2", groups=cfg.bn_groups,
+                                  axis_names=bn_axes)(
             feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = jnp.broadcast_to(feat_global[:, None, :], (B, N, 512))

@@ -116,14 +116,24 @@ class SplitEdgeDense(nn.Module):
         return v + bias.astype(v.dtype)
 
 
-def instance_norm_points(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+def instance_norm_points(x: jax.Array, eps: float = 1e-5,
+                         axis_name: Optional[str] = None) -> jax.Array:
     """InstanceNorm1d (no affine) on [B, N, C]: normalize each channel over
     the point axis per sample — matches torch `nn.InstanceNorm1d` on [B, C, N]
     (biased variance, eps inside the sqrt). Statistics accumulate in f32 even
-    under bf16 compute."""
+    under bf16 compute.
+
+    axis_name: when the point axis is sharded (inside shard_map), the moments
+    are combined across shards with a pmean — exact global statistics."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.var(xf, axis=1, keepdims=True)
+    if axis_name is not None:
+        mean = jax.lax.pmean(jnp.mean(xf, axis=1, keepdims=True), axis_name)
+        sq = jax.lax.pmean(jnp.mean(xf * xf, axis=1, keepdims=True),
+                           axis_name)
+        var = sq - mean * mean
+    else:
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.var(xf, axis=1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     return ((xf - mean) * inv).astype(x.dtype)
 
@@ -153,6 +163,9 @@ class SPBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     groups: int = 1
+    axis_names: Sequence[str] = ()   # shard_map axes to pmean statistics
+                                     # over (the point-sharded train step);
+                                     # incompatible with groups > 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -166,6 +179,8 @@ class SPBatchNorm(nn.Module):
         # param/stat shapes don't depend on grouping; init may use a dummy
         # batch smaller than the group count
         G = 1 if self.is_initializing() else self.groups
+        assert not (self.axis_names and G > 1), \
+            "per-shard BN groups are not supported under explicit shard_map"
         if train:
             xf = x.astype(jnp.float32)
             if G > 1:
@@ -179,7 +194,12 @@ class SPBatchNorm(nn.Module):
             else:
                 axes = tuple(range(x.ndim - 1))
                 mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(xf * xf, axis=axes) - mean * mean
+                sq = jnp.mean(xf * xf, axis=axes)
+                if self.axis_names and not self.is_initializing():
+                    # exact global moments across shards (equal shard sizes)
+                    mean = jax.lax.pmean(mean, self.axis_names)
+                    sq = jax.lax.pmean(sq, self.axis_names)
+                var = sq - mean * mean
                 batch_mean, batch_var = mean, var
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
@@ -206,6 +226,7 @@ class AdaptivePointNorm(nn.Module):
 
     channels: int
     use_eql: bool = False
+    points_axis: Optional[str] = None   # sharded point axis (shard_map)
 
     @nn.compact
     def __call__(self, x, style):
@@ -221,7 +242,8 @@ class AdaptivePointNorm(nn.Module):
         k = kernel * math.sqrt(2.0 / fan_in) if self.use_eql else kernel
         gb = jnp.matmul(style, k.astype(style.dtype)) + bias.astype(style.dtype)
         gamma, beta = gb[..., :C], gb[..., C:]
-        return gamma * instance_norm_points(x) + beta
+        axis = None if self.is_initializing() else self.points_axis
+        return gamma * instance_norm_points(x, axis_name=axis) + beta
 
 
 class EdgeBlock(nn.Module):
@@ -241,6 +263,10 @@ class EdgeBlock(nn.Module):
     negative_slope: float = 0.01
     mixed: bool = False   # bf16 internals (f32 norms/params), f32 in/out
     bn_groups: int = 1    # per-shard BN stat groups (see SPBatchNorm)
+    points_axis: Optional[str] = None   # sharded point axis: kNN/edge runs
+                                        # shard-local vs all-gathered keys
+                                        # (parallel.points.edge_diff_local)
+    bn_axes: Sequence[str] = ()         # shard_map axes for BN statistics
 
     @nn.compact
     def __call__(self, x, train: bool = True, idx=None, ee=None):
@@ -259,7 +285,13 @@ class EdgeBlock(nn.Module):
         # broadcast central half into a per-point matmul (SplitEdgeDense),
         # halving the step's dominant HBM tensor vs the reference's
         # [central, nbr-central] concat (modules.py:683-725)
-        if ee is not None:
+        if self.points_axis is not None and not self.is_initializing() \
+                and ee is None:
+            from sp_gan_tpu.parallel.points import edge_diff_local
+            diff = edge_diff_local(x, self.k, self.points_axis)
+            if self.mixed:
+                diff = diff.astype(jnp.bfloat16)
+        elif ee is not None:
             diff = ee[..., C:]
             if self.mixed:
                 diff = diff.astype(jnp.bfloat16)
@@ -284,7 +316,7 @@ class EdgeBlock(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
         bn = lambda name, v: SPBatchNorm(
             momentum=self.norm_momentum, groups=self.bn_groups,
-            name=name)(v, train=train)
+            axis_names=tuple(self.bn_axes), name=name)(v, train=train)
 
         # attention branch (conv_w)
         w = TorchDense(self.fout // 2, name="conv_w1")(diff)

@@ -81,6 +81,45 @@ def edge_features_pointsharded(x: jax.Array, k: int, mesh: Mesh,
     )(x)
 
 
+def edge_diff_local(x_local: jax.Array, k: int,
+                    axis: str = "points") -> jax.Array:
+    """Shard-local diff-only edge features for use INSIDE an enclosing
+    `shard_map` (the point-sharded train step): local queries against the
+    all-gathered key set, returning `nbr - central` [B, n_local, k, C] with
+    global self-exclusion. The all-gather of [B, N, C] rides ICI once; the
+    [B, n_local, N] distance block and the edge tensor stay shard-local.
+
+    kNN selection is piecewise-constant, so the index computation runs under
+    stop_gradient and the gather's autodiff handles d_nbr scattering (through
+    the all_gather's psum-scatter VJP — neighbor gradients flow back to the
+    owning shard, exactly the semantics of the unsharded op)."""
+    B, n_local, C = x_local.shape
+    x_full = lax.all_gather(x_local, axis, axis=1, tiled=True)    # [B, N, C]
+    shard = lax.axis_index(axis)
+    xq = lax.stop_gradient(x_local)
+    xk = lax.stop_gradient(x_full)
+    d = pairwise_sqdist(xq.astype(jnp.float32), xk.astype(jnp.float32))
+    rows = shard * n_local + jnp.arange(n_local)
+    cols = jnp.arange(x_full.shape[1])
+    d = jnp.where((rows[:, None] == cols[None, :])[None], jnp.inf, d)
+    _, idx = lax.top_k(-d, k)                                     # [B,nl,k]
+    idx = lax.stop_gradient(idx)
+    flat = idx.reshape(B, n_local * k)
+    nbrs = jnp.take_along_axis(x_full, flat[..., None], axis=1)
+    nbrs = nbrs.reshape(B, n_local, k, C)
+    return nbrs - x_local[:, :, None, :]
+
+
+def global_max_points(x_local: jax.Array, axis: str = "points") -> jax.Array:
+    """Differentiable max over the sharded point axis: local max, all_gather
+    the per-shard maxima, max again. [B, n_local, C] -> [B, C] replicated.
+    (The gather keeps the reduction differentiable — gradients route to the
+    arg-max owner shard through the gather's VJP; `lax.pmax` has no VJP.)"""
+    g_local = jnp.max(x_local, axis=1)                            # [B, C]
+    gathered = lax.all_gather(g_local, axis)                      # [P, B, C]
+    return jnp.max(gathered, axis=0)
+
+
 def chamfer_pointsharded(x: jax.Array, y: jax.Array, mesh: Mesh,
                          axis: str = "points") -> Tuple[jax.Array, jax.Array]:
     """Directed Chamfer minima with both clouds point-sharded: each shard

@@ -214,6 +214,183 @@ def make_train_step(
     return jax.jit(step, donate_argnums=donate)
 
 
+def make_train_step_pointsharded(
+    cfg: Config,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    sphere: jax.Array,
+    mesh,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, dict]]:
+    """Point-sharded train step on a 2-D (data x points) mesh — the TPU-native
+    scale story for N >= 16384 clouds (the point-cloud analog of sequence
+    parallelism; the reference has no equivalent — SURVEY.md §2.4 names it as
+    the optional SP extension, BASELINE.json configs[4]).
+
+    The WHOLE step runs inside one `shard_map`: batch sharded over `data`,
+    points sharded over `points`, parameters/optimizer state replicated.
+    Cross-shard communication is explicit and rides ICI:
+      * EdgeBlock kNN: all_gather of the [B, N, C] features once per block;
+        the O(N^2/P) distance tiles and [B, N/P, k, C] edge tensors stay
+        shard-local (parallel.points.edge_diff_local);
+      * instance-norm / BatchNorm moments: pmean over (data, points);
+      * global max pools: all_gather of per-shard maxima (differentiable —
+        gradients route to the owning shard);
+      * gradients: parameter cotangents are pmean'd over both axes, which
+        with the manual-mode collective transposes yields exactly the
+        unsharded gradients (see the in-body comment; equivalence-tested in
+        tests/test_points_sharding.py).
+
+    Unsupported in this step (asserted off): --attn (global N x N attention),
+    --mix / --gp_mapping (need a sharded EMD), --n_mix (needs the [N, N]
+    template distance matrix), per-shard BN stats, fused pallas EdgeBlocks.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sp_gan_tpu.nn import Discriminator, Generator
+
+    assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
+    n_data, n_points_shards = mesh.devices.shape
+    assert cfg.np % n_points_shards == 0
+    assert not cfg.attn and not cfg.mix and not cfg.n_mix \
+        and not cfg.gp_mapping and cfg.bn_groups == 1
+    scfg = cfg.replace(data_axis="data", points_axis="points",
+                       fused_train=False, fused_dphase=False)
+    G, D = Generator(scfg), Discriminator(scfg)
+    use_gp = cfg.gan == "wgan" and cfg.lambda_gp > 0
+    axes = ("data", "points")
+
+    # template edge tensor for EdgeConv1, computed once globally; each shard
+    # slices its local rows inside the shard_map
+    from sp_gan_tpu.ops.edge import edge_features
+    from sp_gan_tpu.ops.pairwise import knn_indices
+    template_idx = jax.device_get(
+        knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
+    template_ee = jnp.asarray(jax.device_get(edge_features(
+        sphere[None].astype(jnp.float32), cfg.nk // 2,
+        idx=jnp.asarray(template_idx)[None]))[0])             # [N, k, 6]
+    edge1_b1 = cfg.edge1_b1 and not cfg.use_head
+
+    def g_forward(g_params, g_stats, x, z, ee_local):
+        return G.apply({"params": g_params, "batch_stats": g_stats},
+                       x, z, train=True, edge1_ee=ee_local,
+                       template_batch_const=edge1_b1,
+                       mutable=["batch_stats"])
+
+    def d_forward(d_params, d_stats, pts):
+        return D.apply({"params": d_params, "batch_stats": d_stats},
+                       pts, train=True, mutable=["batch_stats"])
+
+    def local_z(key, B_local):
+        """The exact global z draw of the unsharded step, sliced to this
+        shard's (batch rows, point rows) — bit-identical latents regardless
+        of the mesh, so the sharded step reproduces the unsharded one (the
+        equivalence test depends on this). Tiled codes broadcast from
+        [B, 1, nz], so the global-shaped draw is cheap."""
+        z = sample_z(key, B_local * n_data, cfg.np, cfg.nz, cfg.nv,
+                     cfg.n_rand)
+        n_local = cfg.np // n_points_shards
+        dd = jax.lax.axis_index("data")
+        p = jax.lax.axis_index("points")
+        z = jax.lax.dynamic_slice_in_dim(z, dd * B_local, B_local, 0)
+        return jax.lax.dynamic_slice_in_dim(z, p * n_local, n_local, 1)
+
+    def local_step(state: TrainState, real_local: jax.Array):
+        B_local, n_local, _ = real_local.shape
+        p = jax.lax.axis_index("points")
+        x_shard = jax.lax.dynamic_slice_in_dim(
+            sphere, p * n_local, n_local, 0)                  # [n_local, 3]
+        x = jnp.broadcast_to(x_shard[None], (B_local, n_local, 3))
+        ee_local = jax.lax.dynamic_slice_in_dim(
+            template_ee, p * n_local, n_local, 0)[None]       # [1,n_local,k,6]
+        rng, k_zd, k_zg, k_nd, k_ng, k_gp = jax.random.split(state.rng, 6)
+        k_nd = jax.random.fold_in(k_nd, jax.lax.axis_index("data"))
+        k_ng = jax.random.fold_in(k_ng, jax.lax.axis_index("data"))
+        k_gp = jax.random.fold_in(k_gp, jax.lax.axis_index("data"))
+
+        # ---------------- D step ----------------
+        z_d = local_z(k_zd, B_local)
+        fake, g_mut = g_forward(state.g_params, state.g_stats, x, z_d,
+                                ee_local)
+        fake = jax.lax.stop_gradient(fake)
+        g_stats = g_mut["batch_stats"]
+
+        def d_loss_fn(d_params):
+            logit_real, mut1 = d_forward(d_params, state.d_stats, real_local)
+            logit_fake, mut2 = d_forward(d_params, mut1["batch_stats"], fake)
+            loss, info = dis_loss(logit_real, logit_fake, gan=cfg.gan,
+                                  noise_label=cfg.flip_d, rng=k_nd)
+            if use_gp:
+                d_only = lambda pts: d_forward(d_params, state.d_stats,
+                                               pts)[0]
+                loss = loss + wgan_gp(d_only, real_local, fake, k_gp,
+                                      cfg.lambda_gp)
+            return jax.lax.pmean(loss, axes), (mut2["batch_stats"], info)
+
+        # Under manual-mode shard_map (check_rep=False) psum transposes to
+        # psum, so the backward — seeded 1 on every shard — differentiates
+        # the SUM of all shard losses: the psum'd parameter cotangents come
+        # out exactly (n_data * n_points_shards) x the global-mean gradient.
+        # pmean restores it (equivalence-tested vs the unsharded step).
+        (d_loss_val, (d_stats, d_info)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_grads = jax.lax.pmean(d_grads, axes)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G step ----------------
+        z_g = local_z(k_zg, B_local)
+
+        def g_loss_fn(g_params):
+            fake2, mutg = g_forward(g_params, g_stats, x, z_g, ee_local)
+            logit_fake, mutd = d_forward(d_params, d_stats, fake2)
+            if cfg.gan == "real":
+                logit_real, mutd = d_forward(d_params, mutd["batch_stats"],
+                                             real_local)
+            else:
+                logit_real = None
+            loss, _ = gen_loss(logit_real, logit_fake, gan=cfg.gan,
+                               noise_label=cfg.flip_g, rng=k_ng)
+            return jax.lax.pmean(loss, axes), (mutg["batch_stats"],
+                                               mutd["batch_stats"])
+
+        (g_loss_val, (g_stats_new, d_stats_new)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_grads = jax.lax.pmean(g_grads, axes)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_ema = state.g_ema
+        if g_ema is not None:
+            decay = cfg.ema_rate
+            g_ema = jax.tree.map(
+                lambda e, q: decay * e + (1.0 - decay) * q, g_ema, g_params)
+
+        new_state = state.replace(
+            g_params=g_params, g_stats=g_stats_new, d_params=d_params,
+            d_stats=d_stats_new, g_opt=g_opt, d_opt=d_opt, g_ema=g_ema,
+            step=state.step + 1, rng=rng)
+        metrics = {
+            "d_loss": d_loss_val,
+            "g_loss": g_loss_val,
+            "real_acc": jax.lax.pmean(d_info["real_acc"], "data"),
+            "fake_acc": jax.lax.pmean(d_info["fake_acc"], "data"),
+        }
+        return new_state, metrics
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P("data", "points", None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    donate = (0,) if cfg.donate_state else ()
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data", "points", None))
+    return jax.jit(sharded, donate_argnums=donate,
+                   in_shardings=(rep, data), out_shardings=(rep, rep))
+
+
 def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
     """Jitted sampler: (state, z [B,N,nz]) -> clouds [B,N,3] (eval mode —
     BatchNorm running averages, the reference's `draw_sample` path)."""

@@ -76,9 +76,17 @@ class Trainer:
             cfg, rng, self.steps_per_epoch)
         self.log(f"# generator parameters: {param_count(self.state.g_params)}")
         self.log(f"# discriminator parameters: {param_count(self.state.d_params)}")
-        self.train_step = make_train_step(cfg, self.G, self.D, g_tx, d_tx,
-                                          self.sphere, self.ball_sqdist,
-                                          mesh=self.mesh)
+        if self.mesh is not None and "points" in self.mesh.axis_names \
+                and self.mesh.shape["points"] > 1:
+            # 2-D (data x points) mesh: the point-sharded shard_map step
+            # (N >= 16384 training — see make_train_step_pointsharded)
+            from sp_gan_tpu.train.step import make_train_step_pointsharded
+            self.train_step = make_train_step_pointsharded(
+                cfg, g_tx, d_tx, self.sphere, self.mesh)
+        else:
+            self.train_step = make_train_step(cfg, self.G, self.D, g_tx, d_tx,
+                                              self.sphere, self.ball_sqdist,
+                                              mesh=self.mesh)
         self.sample_fn = make_sample_fn(cfg, self.G, self.sphere,
                                         use_ema=cfg.ema)
         self.sample_raw = (make_sample_fn(cfg, self.G, self.sphere,
@@ -222,6 +230,16 @@ class Trainer:
         return record
 
     # ------------------------------------------------------------------
+    def _batch_sharding(self):
+        """Input sharding for real batches: batch over `data`, plus the
+        point axis over `points` when the 2-D point-sharded mesh is up."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if "points" in self.mesh.axis_names \
+                and self.mesh.shape["points"] > 1:
+            return NamedSharding(self.mesh, P("data", "points", None))
+        return batch_sharding(self.mesh)
+
+    # ------------------------------------------------------------------
     def _device_data_step(self):
         """On-device input path: the whole dataset lives in HBM; a single
         dispatch drives a `lax.scan` chunk of cfg.steps_per_call steps, each
@@ -253,7 +271,7 @@ class Trainer:
                     real = augment_batch(ks[1], real, True)
                 if self.mesh is not None:
                     real = jax.lax.with_sharding_constraint(
-                        real, batch_sharding(self.mesh))
+                        real, self._batch_sharding())
                 return base(st, real)
 
             state, ms = jax.lax.scan(body, state, (idxs, keys))
@@ -267,7 +285,7 @@ class Trainer:
         max_epoch = max_epoch or cfg.max_epoch
         rng_np = np.random.default_rng(cfg.seed)
         aug_key = jax.random.PRNGKey(cfg.seed + 2)
-        sharding = batch_sharding(self.mesh) if self.mesh else None
+        sharding = self._batch_sharding() if self.mesh else None
 
         # on-device data path when the dataset fits in HBM (<=1GB)
         use_device_data = self.dataset.data.nbytes <= (1 << 30)
