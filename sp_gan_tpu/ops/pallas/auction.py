@@ -44,6 +44,86 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def _auction_kernel_packed(d_ref, asg_ref, price_ref, owner_ref, flag_ref,
+                           it_ref, *, n: int, m: int, eps: float, iters: int,
+                           phases: int, theta: float):
+    """Merged-pass auction round (VERDICT r2 #4): the per-row best/second
+    and the per-item accepted bid each come out of ONE packed int32 reduce
+    instead of separate (min, argmin) + compare passes.
+
+    Packing: squared distances are non-negative, so their f32 bits are
+    monotonic as int32; the low ceil(log2 max(n,m)) mantissa bits are
+    replaced with the column (or row) index. A single min (or max) reduce
+    then yields both the quantized extremum and its exact arg, with
+    deterministic lowest-index tie-breaking. Quantization (~1.2e-4 relative
+    at n=2048) only perturbs bid increments by a fraction of eps — the
+    N*eps optimality contract holds with eps' = eps*(1+~0.12), verified
+    against the Hungarian optimum in tests/test_pallas.py."""
+    d = d_ref[0]                                             # [N, M] f32
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    row_n = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    price_ref[:] = jnp.zeros((m,), jnp.float32)
+    it_ref[0] = 0
+
+    bits = max((max(n, m) - 1).bit_length(), 1)
+    low = (1 << bits) - 1
+    hi = ~low
+    BIG = jnp.int32(2 ** 31 - 1)
+    SMALL = jnp.int32(-(2 ** 31 - 1))
+
+    def one_round(eps_p):
+        price = price_ref[:]                                 # [M]
+        owner = owner_ref[:]                                 # [M] int32
+        # point p unassigned iff no item's owner == p
+        owned = jnp.max(jnp.where(owner[None, :] == row_n, 1, 0), axis=1)
+        unassigned = owned == 0                              # [N]
+        flag_ref[0] = jnp.sum(jnp.where(unassigned, 1, 0))
+
+        u = jnp.maximum(d + price[None, :], 0.0)             # [N, M]
+        u_pk = (jax.lax.bitcast_convert_type(u, jnp.int32) & hi) | col_m
+        p1 = jnp.min(u_pk, axis=1)                           # [N] packed
+        a = p1 & low                                         # best item
+        is_best = col_m == a[:, None]
+        p2 = jnp.min(jnp.where(is_best, BIG, u_pk), axis=1)
+        best_u = jax.lax.bitcast_convert_type(p1 & hi, jnp.float32)
+        second_u = jax.lax.bitcast_convert_type(p2 & hi, jnp.float32)
+        bid_inc = second_u - best_u + eps_p                  # [N] >= ~eps_p
+
+        # item side: accept the highest bid among unassigned bidders —
+        # one packed max reduce over the point axis gives value AND winner
+        bp = jax.lax.bitcast_convert_type(jnp.maximum(bid_inc, 0.0), jnp.int32) & hi  # [N]
+        bid_pk = jnp.where(unassigned[:, None] & is_best,
+                           bp[:, None] | row_n, SMALL)
+        pm = jnp.max(bid_pk, axis=0)                         # [M]
+        has_bid = pm > SMALL
+        winner = pm & low
+        max_bid = jax.lax.bitcast_convert_type(pm & hi, jnp.float32)
+
+        owner_ref[:] = jnp.where(has_bid, winner, owner)
+        price_ref[:] = price + jnp.where(has_bid, max_bid, 0.0)
+        it_ref[0] = it_ref[0] + 1
+
+    for p in range(phases):
+        eps_p = eps * (theta ** (phases - 1 - p))
+        owner_ref[:] = jnp.full((m,), -1, jnp.int32)
+        flag_ref[0] = n
+
+        def body(i, carry, eps_p=eps_p):
+            @pl.when((flag_ref[0] > 0) & (it_ref[0] < iters))
+            def _():
+                one_round(eps_p)
+            return carry
+
+        lax.fori_loop(0, iters, body, 0)
+
+    owner = owner_ref[:]
+    price = price_ref[:]
+    item_of = jnp.max(
+        jnp.where(owner[None, :] == row_n, col_m + 1, 0), axis=1) - 1
+    best_idx = jnp.argmin(d + price[None, :], axis=1).astype(jnp.int32)
+    asg_ref[0, 0] = jnp.where(item_of < 0, best_idx, item_of)
+
+
 def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
                     n: int, m: int, eps: float, iters: int, phases: int,
                     theta: float):
@@ -115,14 +195,28 @@ def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "iters", "phases", "theta"))
+                   static_argnames=("eps", "iters", "phases", "theta",
+                                    "packed"))
 def auction_assignment_pallas(d: jax.Array, eps: float = 0.002,
                               iters: int = 10000, phases: int = 4,
-                              theta: float = 8.0) -> jax.Array:
+                              theta: float = 8.0,
+                              packed: bool = False) -> jax.Array:
     """d: [B, N, M] pairwise squared distances -> assignment [B, N] int32
-    (for each point of cloud 1, the matched item of cloud 2)."""
+    (for each point of cloud 1, the matched item of cloud 2).
+
+    packed=True runs the merged-pass round (packed int32 reduces — see
+    `_auction_kernel_packed`). r3 A/B on v5e at N=2048 metric regime:
+    4.37 vs 4.61 solves/s (hard instances) and 11.8 vs 12.3 (shape
+    instances) — a small REGRESSION: Mosaic already fuses the min+argmin
+    pattern, and per-round cost is bound by the [N, M] VMEM traffic of the
+    ~5 logical array traversals, not by reduce count. Kept for the record;
+    default stays the separate-reduce kernel. Phase/theta sweep at the same
+    regime: (4, 8) best of {(4,8),(6,4),(8,3),(5,6),(10,2)} — both knobs
+    are at their floor; further EMD speed needs an active-set
+    restructuring (rounds on compacted unassigned rows)."""
     B, N, M = d.shape
-    kernel = functools.partial(_auction_kernel, n=N, m=M, eps=eps,
+    kern = _auction_kernel_packed if packed else _auction_kernel
+    kernel = functools.partial(kern, n=N, m=M, eps=eps,
                                iters=iters, phases=phases, theta=theta)
     return pl.pallas_call(
         kernel,
