@@ -133,6 +133,14 @@ class Config:
                                        # per_shard = the reference DataParallel's
                                        # per-replica stats (model.py:79-84),
                                        # groups = product(mesh_shape)
+    pool_commute: bool = True          # fuse D's fc2 BN+lrelu+max-pool by
+                                       # commuting the monotone affine past
+                                       # the pool (MaxPoolBNLReLU): the
+                                       # [B,N,1024] tensor is only reduced,
+                                       # never normalized elementwise.
+                                       # Exact numerics (see layers.py);
+                                       # auto-off for per-shard BN stats /
+                                       # point-sharded steps
     nan_guard: bool = False            # skip optimizer updates on non-finite grads
                                        # (reference's unused _check_grad_ok,
                                        # Common/network_utils.py:58-69, made live)

@@ -42,13 +42,22 @@ class Discriminator(nn.Module):
 
         dim = 1024 // (2 if self.cfg.small_d else 1)
         h = TorchDense(dim, name="fc2")(h)
-        h = nn.leaky_relu(bn("bn_fc2", h), NEG)
 
-        if cfg.points_axis is not None and not self.is_initializing():
-            from sp_gan_tpu.parallel.points import global_max_points
-            h = global_max_points(h, cfg.points_axis).astype(jnp.float32)
+        commute = cfg.pool_commute and cfg.bn_groups == 1 \
+            and cfg.points_axis is None and cfg.data_axis is None
+        if commute:
+            # bn + lrelu + max-pool commuted into reductions-only on the
+            # [B, N, dim] tensor (exact — see MaxPoolBNLReLU)
+            from sp_gan_tpu.nn.layers import MaxPoolBNLReLU
+            h = MaxPoolBNLReLU(name="bn_fc2")(h, train=train)
+            h = h.astype(jnp.float32)
         else:
-            h = jnp.max(h, axis=1).astype(jnp.float32)  # adaptive max pool
+            h = nn.leaky_relu(bn("bn_fc2", h), NEG)
+            if cfg.points_axis is not None and not self.is_initializing():
+                from sp_gan_tpu.parallel.points import global_max_points
+                h = global_max_points(h, cfg.points_axis).astype(jnp.float32)
+            else:
+                h = jnp.max(h, axis=1).astype(jnp.float32)  # adaptive max
 
         for i, width in enumerate((512, 256, 64)):
             h = nn.leaky_relu(TorchDense(width, name=f"head{i + 1}")(h), NEG)

@@ -75,6 +75,67 @@ class TestParamParity:
         assert n_params(gv["params"]) == 585_155 + extra
 
 
+class TestPoolCommute:
+    """D's commuted BN+lrelu+max-pool (MaxPoolBNLReLU, VERDICT r2 #6) must
+    match the plain path exactly: same params (shared names), same logits,
+    same batch-stat updates, same gradients."""
+
+    def _pair(self, cfg):
+        key = jax.random.PRNGKey(3)
+        x = jnp.zeros((4, cfg.np, 3))
+        Dc = Discriminator(cfg)                                # commuted
+        Dp = Discriminator(cfg.replace(pool_commute=False))    # plain
+        dv = Dc.init(key, x, train=True)
+        return Dc, Dp, dv
+
+    def test_forward_and_stats_match(self, rng):
+        cfg = Config(np=64, bs=4, nk=20, nz=128, dtype="float32")
+        Dc, Dp, dv = self._pair(cfg)
+        # includes negative BN scales: the min-side of the commutation
+        dv["params"]["bn_fc2"]["scale"] = jnp.asarray(
+            rng.standard_normal(1024).astype(np.float32))
+        pts = jnp.asarray(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        for train in (True, False):
+            yc, mc = Dc.apply(dv, pts, train=train,
+                              mutable=["batch_stats"])
+            yp, mp = Dp.apply(dv, pts, train=train,
+                              mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(yc), np.asarray(yp),
+                                       rtol=1e-5, atol=1e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(mc["batch_stats"]),
+                            jax.tree_util.tree_leaves(mp["batch_stats"])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match(self, rng):
+        cfg = Config(np=64, bs=4, nk=20, nz=128, dtype="float32")
+        Dc, Dp, dv = self._pair(cfg)
+        dv["params"]["bn_fc2"]["scale"] = jnp.asarray(
+            rng.standard_normal(1024).astype(np.float32))
+        pts = jnp.asarray(rng.standard_normal((4, 64, 3)).astype(np.float32))
+
+        def loss(params, D):
+            y, _ = D.apply({"params": params,
+                            "batch_stats": dv["batch_stats"]}, pts,
+                           train=True, mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+
+        gc = jax.grad(lambda p: loss(p, Dc))(dv["params"])
+        gp = jax.grad(lambda p: loss(p, Dp))(dv["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(gc),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_grad_flows_to_input(self, rng):
+        cfg = Config(np=32, bs=2, nk=8, nz=16, dtype="float32")
+        Dc, Dp, dv = self._pair(cfg)
+        pts = jnp.asarray(rng.standard_normal((2, 32, 3)).astype(np.float32))
+        g = jax.grad(lambda p: float(0) + jnp.sum(Dc.apply(
+            dv, p, train=False) ** 2))(pts)
+        assert float(jnp.abs(g).max()) > 0
+
+
 class TestNormSemantics:
     def test_instance_norm_matches_torch(self, rng):
         import torch
