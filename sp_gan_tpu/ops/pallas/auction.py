@@ -124,6 +124,119 @@ def _auction_kernel_packed(d_ref, asg_ref, price_ref, owner_ref, flag_ref,
     asg_ref[0, 0] = jnp.where(item_of < 0, best_idx, item_of)
 
 
+def _auction_kernel_blockgs(d_ref, asg_ref, price_ref, owner_ref, cnt_ref,
+                            it_ref, *, n: int, m: int, eps: float,
+                            iters: int, phases: int, theta: float, w: int):
+    """Block Gauss-Seidel auction with exact active-block skipping — the
+    active-set restructuring that beats the per-round [N, M] floor of the
+    Jacobi kernels.
+
+    The point set is split into NB = n/w static blocks. One round processes
+    ONE block: its rows of the distance matrix are a dynamic slice (free),
+    every pass is [w, M] instead of [N, M]. Auction theory allows any
+    subset of unassigned points to bid per round (Gauss-Seidel is the
+    textbook special case), and fresher prices between blocks converge in
+    fewer sweeps than Jacobi.
+
+    The win: per-block unassigned counts are maintained EXACTLY —
+      * accepted bids decrement the bidding block's count (winners are
+        always rows of the current block);
+      * evicted previous owners increment their own block's count via a
+        tiny [NB, M] histogram of `prev_owner // w`;
+    so converged blocks are skipped outright (a scalar check), and late
+    rounds — the thousands of tail rounds where only a few points remain
+    unassigned — touch w/N of the matrix. `iters` caps total block-rounds
+    at iters * NB (same total element-budget semantics as the Jacobi
+    kernels)."""
+    nb = n // w
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (w, m), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+    arange_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
+    price_ref[:] = jnp.zeros((m,), jnp.float32)
+    it_ref[0] = 0          # total block-rounds (budget)
+    it_ref[1] = 0          # round-robin cursor
+
+    def one_round(eps_p):
+        """Returns the change in total-unassigned (evicted - accepted)."""
+        price = price_ref[:]                                 # [M]
+        owner = owner_ref[:]                                 # [M] int32
+        cnt = cnt_ref[:]                                     # [NB] int32
+
+        # next block with unassigned points, round-robin from the cursor
+        start = it_ref[1]
+        rel = jnp.mod(arange_nb - start, nb)
+        j = jnp.min(jnp.where(cnt > 0, rel, nb)).astype(jnp.int32)
+        j = jnp.mod(start + j, nb)
+        it_ref[1] = jnp.mod(j + 1, nb)
+
+        rows0 = j * w                                        # global row base
+        db = d_ref[0, pl.ds(rows0, w), :]                    # [w, M]
+        grow = rows0 + row_w                                 # global row ids
+        unassigned = jnp.max(
+            jnp.where(owner[None, :] == grow, 1, 0), axis=1) == 0  # [w]
+
+        value = -db - price[None, :]
+        best_val = jnp.max(value, axis=1)
+        best_idx = jnp.argmax(value, axis=1).astype(jnp.int32)
+        is_best = col_m == best_idx[:, None]
+        second_val = jnp.max(jnp.where(is_best, _NEG, value), axis=1)
+        bid_inc = best_val - second_val + eps_p
+
+        bids_on = unassigned[:, None] & is_best
+        bid_mat = jnp.where(bids_on, bid_inc[:, None], _NEG)  # [w, M]
+        max_bid = jnp.max(bid_mat, axis=0)                   # [M]
+        winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+        has_bid = max_bid > _NEG * 0.5
+
+        prev_owner = owner
+        evicted = jnp.where(has_bid & (prev_owner >= 0), prev_owner, -1)
+        # exact count bookkeeping: winners leave block j; evicted rejoin
+        # their own blocks
+        n_accepted = jnp.sum(jnp.where(has_bid, 1, 0))
+        ev_blk = jnp.where(evicted >= 0, evicted // w, nb)    # [M]
+        hist = jnp.sum(
+            jnp.where(ev_blk[None, :]
+                      == jax.lax.broadcasted_iota(jnp.int32, (nb, m), 0),
+                      1, 0), axis=1)                          # [NB]
+        n_evicted = jnp.sum(hist)
+        onehot_j = jnp.where(arange_nb == j, 1, 0)
+        cnt_ref[:] = cnt - onehot_j * n_accepted + hist
+
+        owner_ref[:] = jnp.where(has_bid, rows0 + winner, owner)
+        price_ref[:] = price + jnp.where(has_bid, max_bid, 0.0)
+        it_ref[0] = it_ref[0] + 1
+        return n_evicted - n_accepted
+
+    cap = iters * nb
+    for p in range(phases):
+        eps_p = eps * (theta ** (phases - 1 - p))
+        owner_ref[:] = jnp.full((m,), -1, jnp.int32)
+        cnt_ref[:] = jnp.full((nb,), w, jnp.int32)
+
+        def cond(carry, _cap=cap):
+            tot, it = carry
+            return (tot > 0) & (it < _cap)
+
+        def body(carry, eps_p=eps_p):
+            tot, it = carry
+            delta = one_round(eps_p)
+            return tot + delta, it + 1
+
+        # `iters * nb` caps TOTAL block-rounds across phases (same
+        # element-budget as `iters` full Jacobi rounds)
+        lax.while_loop(cond, body, (jnp.int32(n), it_ref[0]))
+
+    owner = owner_ref[:]
+    price = price_ref[:]
+    d = d_ref[0]
+    col_nm = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    row_nm = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    item_of = jnp.max(
+        jnp.where(owner[None, :] == row_nm, col_nm + 1, 0), axis=1) - 1
+    best_idx = jnp.argmin(d + price[None, :], axis=1).astype(jnp.int32)
+    asg_ref[0, 0] = jnp.where(item_of < 0, best_idx, item_of)
+
+
 def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
                     n: int, m: int, eps: float, iters: int, phases: int,
                     theta: float):
@@ -196,28 +309,52 @@ def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "iters", "phases", "theta",
-                                    "packed"))
+                                    "mode", "block_w"))
 def auction_assignment_pallas(d: jax.Array, eps: float = 0.002,
                               iters: int = 10000, phases: int = 4,
-                              theta: float = 8.0,
-                              packed: bool = False) -> jax.Array:
+                              theta: float = 8.0, mode: str = "jacobi",
+                              block_w: int = 256) -> jax.Array:
     """d: [B, N, M] pairwise squared distances -> assignment [B, N] int32
     (for each point of cloud 1, the matched item of cloud 2).
 
-    packed=True runs the merged-pass round (packed int32 reduces — see
-    `_auction_kernel_packed`). r3 A/B on v5e at N=2048 metric regime:
-    4.37 vs 4.61 solves/s (hard instances) and 11.8 vs 12.3 (shape
-    instances) — a small REGRESSION: Mosaic already fuses the min+argmin
-    pattern, and per-round cost is bound by the [N, M] VMEM traffic of the
-    ~5 logical array traversals, not by reduce count. Kept for the record;
-    default stays the separate-reduce kernel. Phase/theta sweep at the same
-    regime: (4, 8) best of {(4,8),(6,4),(8,3),(5,6),(10,2)} — both knobs
-    are at their floor; further EMD speed needs an active-set
-    restructuring (rounds on compacted unassigned rows)."""
+    mode:
+      "jacobi"  — all unassigned points bid each round; every round costs
+        ~5 [N, M] VPU passes.
+      "packed"  — jacobi with merged packed-int32 reduces. r3 A/B on v5e at
+        the N=2048 metric regime: 4.37 vs 4.61 solves/s (hard) and 11.8 vs
+        12.3 (shape instances) — a small REGRESSION: Mosaic already fuses
+        the min+argmin pattern and rounds are bound by [N, M] VMEM traffic,
+        not reduce count. Kept for the record.
+      "blockgs" — block Gauss-Seidel with exact active-block skipping
+        (`_auction_kernel_blockgs`): rounds cost [block_w, M] and converged
+        blocks are skipped, so the long convergence tail runs at w/N of the
+        Jacobi cost.
+    Phase/theta sweep at the metric regime: (4, 8) best of
+    {(4,8),(6,4),(8,3),(5,6),(10,2)}."""
     B, N, M = d.shape
-    kern = _auction_kernel_packed if packed else _auction_kernel
-    kernel = functools.partial(kern, n=N, m=M, eps=eps,
-                               iters=iters, phases=phases, theta=theta)
+    if mode == "blockgs":
+        while N % block_w:
+            block_w //= 2
+        kernel = functools.partial(_auction_kernel_blockgs, n=N, m=M,
+                                   eps=eps, iters=iters, phases=phases,
+                                   theta=theta, w=block_w)
+        scratch = [
+            pltpu.VMEM((M,), jnp.float32),       # price
+            pltpu.VMEM((M,), jnp.int32),         # owner
+            pltpu.VMEM((N // block_w,), jnp.int32),  # per-block unassigned
+            pltpu.SMEM((2,), jnp.int32),         # round counter + cursor
+        ]
+    else:
+        kern = _auction_kernel_packed if mode == "packed" \
+            else _auction_kernel
+        kernel = functools.partial(kern, n=N, m=M, eps=eps,
+                                   iters=iters, phases=phases, theta=theta)
+        scratch = [
+            pltpu.VMEM((M,), jnp.float32),       # price
+            pltpu.VMEM((M,), jnp.int32),         # owner
+            pltpu.SMEM((1,), jnp.int32),         # unassigned count
+            pltpu.SMEM((1,), jnp.int32),         # cumulative round counter
+        ]
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -226,12 +363,7 @@ def auction_assignment_pallas(d: jax.Array, eps: float = 0.002,
         out_specs=pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((M,), jnp.float32),       # price
-            pltpu.VMEM((M,), jnp.int32),         # owner
-            pltpu.SMEM((1,), jnp.int32),         # unassigned count
-            pltpu.SMEM((1,), jnp.int32),         # cumulative round counter
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=B * N * M * 20 * min(iters, 4000), transcendentals=0,
             bytes_accessed=B * N * M * 4 + B * N * 4),
