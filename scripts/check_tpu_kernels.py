@@ -125,14 +125,17 @@ def main():
     a1 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
     a2 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
     dm = psq(a1, a2)
-    asg = _np.asarray(auction_assignment_pallas(dm, eps=0.002, iters=10000))
-    ok = True
-    for b in range(2):
-        r, c = linear_sum_assignment(_np.asarray(dm)[b])
-        opt = _np.asarray(dm)[b][r, c].sum()
-        got = _np.asarray(dm)[b][_np.arange(na), asg[b]].sum()
-        ok &= (len(set(asg[b])) == na) and (got <= opt + na * 0.002 + 1e-4)
-    check("auction eps-optimal n=256", bool(ok))
+    for mode in ("jacobi", "blockgs"):
+        asg = _np.asarray(auction_assignment_pallas(
+            dm, eps=0.002, iters=10000, mode=mode))
+        ok = True
+        for b in range(2):
+            r, c = linear_sum_assignment(_np.asarray(dm)[b])
+            opt = _np.asarray(dm)[b][r, c].sum()
+            got = _np.asarray(dm)[b][_np.arange(na), asg[b]].sum()
+            ok &= (len(set(asg[b])) == na) \
+                and (got <= opt + na * 0.002 + 1e-4)
+        check(f"auction[{mode}] eps-optimal n=256", bool(ok))
 
     print(f"\n{failures} failures")
     return 1 if failures else 0
