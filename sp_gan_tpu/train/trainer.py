@@ -215,6 +215,9 @@ class Trainer:
                  "1NN-CD": knn_two_sample(gg, gt, self._eval_tt),
                  "JSD": jsd(0.5 * gen, 0.5 * ref, warn=False)}
             if cfg.eval_emd:
+                # train-regime auction (eps=0.005/50, early-terminating):
+                # a monitoring-grade EMD at interactive cost; report final
+                # numbers with evaluate.py's full test-regime protocol
                 if self._eval_tt_emd is None:
                     self._eval_tt_emd = pairwise_emd_matrix(rj, rj)
                 gg_e = pairwise_emd_matrix(gj, gj)

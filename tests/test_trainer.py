@@ -127,6 +127,16 @@ class TestInLoopEval:
         log = open(os.path.join(cfg.log_dir, "log_train.txt")).read()
         assert "EVAL epoch=1" in log
 
+    def test_eval_hook_with_emd(self, tmp_path):
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     eval_every=1, eval_size=4, eval_emd=True)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        tr.cfg = tr.cfg.replace(eval_emd=True)
+        rec = tr.evaluate(1, 1)
+        for key in ("MMD-EMD", "COV-EMD", "1NN-EMD"):
+            assert np.isfinite(rec["raw"][key]), key
+
     def test_eval_hook_ema_and_raw(self, tmp_path):
         cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
                      log_dir=str(tmp_path / "run"), donate_state=False,
