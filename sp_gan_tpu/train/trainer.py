@@ -306,7 +306,9 @@ class Trainer:
         ra_meter, fa_meter = AverageValueMeter(), AverageValueMeter()
         timer = StepTimer(points_per_step=cfg.bs * cfg.np, window=50)
         t_start = time.time()
-        global_step = 0
+        # resume from the restored optimizer step so eval.jsonl / sample
+        # dumps carry a monotonically increasing global step across restarts
+        global_step = int(jax.device_get(self.state.step))
 
         for epoch in range(self.start_epoch, max_epoch + 1):
             # per-epoch meter averages (reference model.py resets each epoch;
