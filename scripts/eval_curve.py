@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Render a campaign's eval.jsonl into the metric-vs-step table BASELINE.md
+records (VERDICT r2 #1 done-criterion): MMD-CD/COV/1NN/JSD at snapshots,
+EMA vs raw.
+
+    python scripts/eval_curve.py runs/campaign_r3/eval.jsonl [--every 10]
+"""
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path")
+    ap.add_argument("--every", type=int, default=1,
+                    help="print every k-th record (last always printed)")
+    ap.add_argument("--steps_per_epoch", type=int, default=100)
+    args = ap.parse_args()
+
+    recs = {}
+    with open(args.path) as f:
+        for line in f:
+            r = json.loads(line)
+            recs[r["epoch"]] = r     # restarts overwrite duplicate epochs
+    epochs = sorted(recs)
+    picked = epochs[:: args.every]
+    if epochs and epochs[-1] not in picked:
+        picked.append(epochs[-1])
+
+    print("| step | MMD-CD (ema/raw) | COV-CD (ema/raw) | "
+          "1NN-CD (ema/raw) | JSD (ema/raw) |")
+    print("|---|---|---|---|---|")
+    for e in picked:
+        r = recs[e]
+        ema, raw = r.get("ema"), r.get("raw")
+        if ema is None:
+            ema = raw
+        step = e * args.steps_per_epoch
+
+        def pair(key, fmt):
+            return f"{ema[key]:{fmt}} / {raw[key]:{fmt}}"
+
+        print(f"| {step} | {pair('MMD-CD', '.5f')} | {pair('COV-CD', '.3f')}"
+              f" | {pair('1NN-CD', '.3f')} | {pair('JSD', '.4f')} |")
+
+
+if __name__ == "__main__":
+    main()
