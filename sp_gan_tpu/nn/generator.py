@@ -124,8 +124,6 @@ class Generator(nn.Module):
         if cfg.points_axis is not None:
             # point-sharded step (shard_map): shard-local edge ops, explicit
             # collectives for every cross-point statistic
-            assert not cfg.attn, \
-                "global attention is not supported with point sharding"
             bn_axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
             eb_kwargs["points_axis"] = cfg.points_axis
             eb_kwargs["bn_axes"] = bn_axes
@@ -176,7 +174,8 @@ class Generator(nn.Module):
         feat_cat = jnp.concatenate([feat_global, x2], axis=-1)  # [B, N, 640]
 
         if cfg.attn:
-            feat_cat = Attention(512 + dim, name="attn")(feat_cat)
+            feat_cat = Attention(512 + dim, name="attn",
+                                 points_axis=cfg.points_axis)(feat_cat)
 
         # --- tail (always plain conv in the reference) ---
         if cfg.g_tail_f32:

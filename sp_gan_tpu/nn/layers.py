@@ -402,9 +402,16 @@ class EdgeBlock(nn.Module):
 
 class Attention(nn.Module):
     """Global self-attention (`modules.py:534-558`, BigGAN-style): 1/8-dim
-    query/key, 1/2-dim value, zero-init learnable gain, residual."""
+    query/key, 1/2-dim value, zero-init learnable gain, residual.
+
+    points_axis: under the point-sharded train step the [N, N] energy
+    matrix is the memory reason for sharding in the first place — queries
+    stay local, keys/values are all-gathered once, each shard holds only
+    its [n_local, N] rows (the row softmax is exact: it's over the full
+    gathered key axis)."""
 
     channels: int
+    points_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -412,6 +419,11 @@ class Attention(nn.Module):
         theta = TorchDense(ch // 8, use_bias=False, name="theta")(x)   # [B,N,c8]
         phi = TorchDense(ch // 8, use_bias=False, name="phi")(x)
         g = TorchDense(ch // 2, use_bias=False, name="g")(x)           # [B,N,c2]
+        if self.points_axis is not None and not self.is_initializing():
+            phi = jax.lax.all_gather(phi, self.points_axis, axis=1,
+                                     tiled=True)              # [B, N, c8]
+            g = jax.lax.all_gather(g, self.points_axis, axis=1,
+                                   tiled=True)                # [B, N, c2]
         energy = jnp.einsum("bnc,bmc->bnm", theta, phi)
         beta = jax.nn.softmax(energy, axis=-1)
         o = jnp.einsum("bnm,bmc->bnc", beta, g)

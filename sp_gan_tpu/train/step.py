@@ -240,9 +240,11 @@ def make_train_step_pointsharded(
         unsharded gradients (see the in-body comment; equivalence-tested in
         tests/test_points_sharding.py).
 
-    Unsupported in this step (asserted off): --attn (global N x N attention),
-    --mix / --gp_mapping (need a sharded EMD), --n_mix (needs the [N, N]
-    template distance matrix), per-shard BN stats, fused pallas EdgeBlocks.
+    --attn works sharded: queries local, keys/values all-gathered, each
+    shard holds [n_local, N] energy rows (see nn.layers.Attention).
+    Unsupported in this step (asserted off): --mix / --gp_mapping (need a
+    sharded EMD), --n_mix (needs the [N, N] template distance matrix),
+    per-shard BN stats, fused pallas EdgeBlocks.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -252,7 +254,7 @@ def make_train_step_pointsharded(
     assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
     n_data, n_points_shards = mesh.devices.shape
     assert cfg.np % n_points_shards == 0
-    assert not cfg.attn and not cfg.mix and not cfg.n_mix \
+    assert not cfg.mix and not cfg.n_mix \
         and not cfg.gp_mapping and cfg.bn_groups == 1
     scfg = cfg.replace(data_axis="data", points_axis="points",
                        fused_train=False, fused_dphase=False)

@@ -142,6 +142,22 @@ class TestPointShardedTrainStep:
         state, m = step(state, real)
         assert np.isfinite(float(m["d_loss"]))
 
+    def test_attn_matches_unsharded(self, rng):
+        """--attn under point sharding: local queries vs all-gathered
+        keys/values reproduce the dense N x N attention."""
+        from sp_gan_tpu.config import Config
+        cfg = Config(np=64, bs=4, nk=8, nz=16, dtype="float32", attn=True,
+                     donate_state=False, use_pallas=False)
+        mesh = make_mesh((2, 4), ("data", "points"))
+        real = jnp.array(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        state_u, step_u = self._mk(cfg, sgd=True)
+        state_s, step_s = self._mk(cfg, mesh, sgd=True)
+        state_u, m_u = step_u(state_u, real)
+        state_s, m_s = step_s(state_s, real)
+        for key in m_u:
+            np.testing.assert_allclose(float(m_u[key]), float(m_s[key]),
+                                       rtol=2e-4, atol=1e-6, err_msg=key)
+
     @pytest.mark.skipif("not __import__('os').environ.get('SPGAN_BIG_TESTS')")
     def test_n16384_train_step(self, rng):
         """N=16384 training on the 8-virtual-device (2 data x 4 points)
