@@ -393,6 +393,61 @@ def make_train_step_pointsharded(
                    in_shardings=(rep, data), out_shardings=(rep, rep))
 
 
+def make_sample_fn_pointsharded(cfg: Config, sphere: jax.Array, mesh,
+                                use_ema: bool = False):
+    """Eval-mode sampler over the 2-D (data x points) mesh — serving for
+    clouds too large for one chip's quadratic ops (companion to
+    `make_train_step_pointsharded`; eval mode uses BN running stats, so no
+    cross-shard statistics are needed — only the edge all_gathers, the
+    global-max gather and instance-norm pmeans).
+
+    Returns jitted `(state, z [B, N, nz]) -> [B, N, 3]`."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sp_gan_tpu.nn import Generator
+
+    assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
+    n_points_shards = mesh.devices.shape[1]
+    assert cfg.np % n_points_shards == 0
+    scfg = cfg.replace(data_axis="data", points_axis="points",
+                       fused_eval=False)
+    G = Generator(scfg)
+    edge1_b1 = cfg.edge1_b1 and not cfg.use_head
+
+    from sp_gan_tpu.ops.edge import edge_features
+    from sp_gan_tpu.ops.pairwise import knn_indices
+    template_idx = jax.device_get(
+        knn_indices(sphere[None].astype(jnp.float32), cfg.nk // 2))[0]
+    template_ee = jnp.asarray(jax.device_get(edge_features(
+        sphere[None].astype(jnp.float32), cfg.nk // 2,
+        idx=jnp.asarray(template_idx)[None]))[0])             # [N, k, 6]
+
+    def local_sample(state: TrainState, z_local: jax.Array):
+        B_local, n_local, _ = z_local.shape
+        p = jax.lax.axis_index("points")
+        x_shard = jax.lax.dynamic_slice_in_dim(
+            sphere, p * n_local, n_local, 0)
+        x = jnp.broadcast_to(x_shard[None], (B_local, n_local, 3))
+        ee_local = jax.lax.dynamic_slice_in_dim(
+            template_ee, p * n_local, n_local, 0)[None]
+        params = state.g_ema if (use_ema and state.g_ema is not None) \
+            else state.g_params
+        return G.apply({"params": params, "batch_stats": state.g_stats},
+                       x, z_local, train=False, edge1_ee=ee_local,
+                       template_batch_const=edge1_b1)
+
+    sharded = shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(P(), P("data", "points", None)),
+        out_specs=P("data", "points", None),
+        check_rep=False,
+    )
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data", "points", None))
+    return jax.jit(sharded, in_shardings=(rep, dp), out_shardings=dp)
+
+
 def make_sample_fn(cfg: Config, G, sphere: jax.Array, use_ema: bool = False):
     """Jitted sampler: (state, z [B,N,nz]) -> clouds [B,N,3] (eval mode —
     BatchNorm running averages, the reference's `draw_sample` path)."""

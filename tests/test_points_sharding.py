@@ -183,6 +183,27 @@ class TestPointShardedTrainStep:
         state, m = step(state, batch)
         assert np.isfinite(float(m["d_loss"]))
 
+    def test_sharded_sampler_matches_unsharded(self, rng):
+        """make_sample_fn_pointsharded == make_sample_fn output (eval mode,
+        BN running stats — exact up to fp)."""
+        from sp_gan_tpu.config import Config
+        from sp_gan_tpu.data import sphere_template
+        from sp_gan_tpu.data.noise import sample_z
+        from sp_gan_tpu.train import create_train_state
+        from sp_gan_tpu.train.step import (make_sample_fn,
+                                           make_sample_fn_pointsharded)
+        cfg = Config(np=64, bs=4, nk=8, nz=16, dtype="float32",
+                     donate_state=False, use_pallas=False)
+        mesh = make_mesh((2, 4), ("data", "points"))
+        state, G, _, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+        sphere = jnp.asarray(sphere_template(cfg.np))
+        f_u = make_sample_fn(cfg, G, sphere)
+        f_s = make_sample_fn_pointsharded(cfg, sphere, mesh)
+        z = sample_z(jax.random.PRNGKey(2), 4, cfg.np, cfg.nz, cfg.nv)
+        np.testing.assert_allclose(np.asarray(f_u(state, z)),
+                                   np.asarray(f_s(state, z)),
+                                   rtol=1e-4, atol=2e-5)
+
     def test_trainer_on_2d_mesh(self, tmp_path):
         """Trainer picks the point-sharded step for a (data x points) mesh
         and completes an epoch."""
