@@ -117,7 +117,7 @@ def make_train_step(
 
         # ---------------- D step ----------------
         z_d = sample_z(k_zd, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
-                       cfg.n_mix, ball_sqdist)
+                       cfg.n_mix, ball_sqdist, sphere=sphere)
         fake, g_mut = g_forward(state.g_params, state.g_stats, x, z_d,
                                 grad_needed=False)
         fake = jax.lax.stop_gradient(fake)
@@ -167,7 +167,7 @@ def make_train_step(
 
         # ---------------- G step (against updated D) ----------------
         z_g = sample_z(k_zg, B, cfg.np, cfg.nz, cfg.nv, cfg.n_rand,
-                       cfg.n_mix, ball_sqdist)
+                       cfg.n_mix, ball_sqdist, sphere=sphere)
 
         def g_loss_fn(g_params):
             fake2, mutg = g_forward(g_params, g_stats, x, z_g)
@@ -240,11 +240,11 @@ def make_train_step_pointsharded(
         unsharded gradients (see the in-body comment; equivalence-tested in
         tests/test_points_sharding.py).
 
-    --attn works sharded: queries local, keys/values all-gathered, each
-    shard holds [n_local, N] energy rows (see nn.layers.Attention).
+    --attn works sharded (queries local, keys/values all-gathered — see
+    nn.layers.Attention) and --n_mix works sharded (anchor distance rows
+    computed from the sphere on the fly; no [N, N] matrix).
     Unsupported in this step (asserted off): --mix / --gp_mapping (need a
-    sharded EMD), --n_mix (needs the [N, N] template distance matrix),
-    per-shard BN stats, fused pallas EdgeBlocks.
+    sharded EMD), per-shard BN stats, fused pallas EdgeBlocks.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -254,8 +254,7 @@ def make_train_step_pointsharded(
     assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
     n_data, n_points_shards = mesh.devices.shape
     assert cfg.np % n_points_shards == 0
-    assert not cfg.mix and not cfg.n_mix \
-        and not cfg.gp_mapping and cfg.bn_groups == 1
+    assert not cfg.mix and not cfg.gp_mapping and cfg.bn_groups == 1
     scfg = cfg.replace(data_axis="data", points_axis="points",
                        fused_train=False, fused_dphase=False)
     G, D = Generator(scfg), Discriminator(scfg)
@@ -290,7 +289,7 @@ def make_train_step_pointsharded(
         equivalence test depends on this). Tiled codes broadcast from
         [B, 1, nz], so the global-shaped draw is cheap."""
         z = sample_z(key, B_local * n_data, cfg.np, cfg.nz, cfg.nv,
-                     cfg.n_rand)
+                     cfg.n_rand, cfg.n_mix, sphere=sphere)
         n_local = cfg.np // n_points_shards
         dd = jax.lax.axis_index("data")
         p = jax.lax.axis_index("points")

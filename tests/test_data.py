@@ -150,6 +150,20 @@ class TestNoise:
                 break
         assert ncodes in (1, 2)  # one or two region codes, never noise soup
 
+    def test_n_mix_sphere_rows_match_matrix(self):
+        """sample_z(sphere=...) computes the anchor distance rows on the
+        fly — identical codes to the precomputed [N, N] matrix path (which
+        is 1 GB at N=16384; the row form scales)."""
+        ball = sphere_template(32)
+        d = jnp.asarray(sphere_sqdist(ball))
+        for s in range(4):
+            za = np.asarray(sample_z(jax.random.PRNGKey(s), 2, 32, 8,
+                                     n_mix=True, ball_sqdist=d))
+            zb = np.asarray(sample_z(jax.random.PRNGKey(s), 2, 32, 8,
+                                     n_mix=True,
+                                     sphere=jnp.asarray(ball)))
+            np.testing.assert_allclose(za, zb, atol=1e-6)
+
     def test_masked_z(self):
         masks = jnp.array([[0] * 16 + [1] * 16])
         z = np.asarray(masked_z(jax.random.PRNGKey(0), masks, nz=8))
