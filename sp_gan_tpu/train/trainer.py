@@ -61,10 +61,13 @@ class Trainer:
         self.steps_per_epoch = cfg.steps_per_epoch or max(
             1, len(self.dataset) // cfg.bs)
 
-        # sphere template (static input x, reference model.py:231)
+        # sphere template (static input x, reference model.py:231). n_mix's
+        # anchor-distance rows are computed from the sphere inside the step
+        # (no [N, N] precompute — the reference's ball_dist matrix,
+        # model.py:162-167, is 1 GB at N=16384)
         ball = sphere_template(cfg.np, cfg.template)
         self.sphere = jnp.asarray(ball)
-        self.ball_sqdist = jnp.asarray(sphere_sqdist(ball)) if cfg.n_mix else None
+        self.ball_sqdist = None
 
         # mesh (data-parallel)
         n_mesh = int(np.prod(cfg.mesh_shape))
