@@ -14,7 +14,7 @@ reduction on the quadratic and edge tensors.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +108,114 @@ def edge_diff_local(x_local: jax.Array, k: int,
     nbrs = jnp.take_along_axis(x_full, flat[..., None], axis=1)
     nbrs = nbrs.reshape(B, n_local, k, C)
     return nbrs - x_local[:, :, None, :]
+
+
+def emd_auction_local(x_local: jax.Array, y_local: jax.Array,
+                      eps: float = 0.005, iters: int = 50,
+                      axis: str = "points",
+                      phases: Optional[int] = None,
+                      theta: float = 8.0) -> Tuple[jax.Array, jax.Array]:
+    """Point-sharded EMD auction for use INSIDE an enclosing `shard_map`
+    (companion to `edge_diff_local`): both clouds sharded along their point
+    axis over `axis`. Returns (dist [B, n_local] squared, assignment
+    [B, n_local] GLOBAL ids into cloud 2), both row-sharded like the inputs.
+
+    TPU-native decomposition of the auction solver (`ops/emd.py`): each shard
+    keeps its [B, N/P, M] distance tile (the quadratic — the VMEM/HBM ceiling
+    of the single-chip solver — is divided by the points-mesh size), while
+    the O(M) price vector and item-owner table are replicated. One Jacobi
+    round = shard-local best/second-bid reductions + an all_gather of the
+    per-shard (max bid, bidder) partials per item, which rides ICI. The
+    per-shard argmax then argmax-over-shards resolution picks the lowest
+    global row index among tied bids — exactly the unsharded
+    `jnp.argmax(bid_mat, axis=0)` tie-break, so the sharded solver is
+    round-for-round identical to `emd_auction(..., scaled=True)`'s XLA path
+    (equivalence-tested on the virtual mesh).
+
+    `iters` caps TOTAL rounds (matching `_auction_single_scaled`); leftover
+    rows after the cap take their current best item (the CUDA forced pass,
+    `emd_cuda.cu` Assign last=true). Default phases heuristic matches
+    `ops/emd.py::_emd_forward`: single phase at the target eps for small caps
+    (train-regime CutMix/GP), 4 eps-scaling phases otherwise. Gradients flow
+    to `x_local` only (reference `emd_module.py:66-72`)."""
+    B, n_local, _ = x_local.shape
+    if phases is None:
+        phases = 1 if iters <= 500 else 4
+    shard = lax.axis_index(axis)
+    row_base = shard * n_local
+    y_full = lax.all_gather(lax.stop_gradient(y_local), axis,
+                            axis=1, tiled=True)               # [B, M, 3]
+    M = y_full.shape[1]
+    N = n_local * lax.axis_size(axis)
+    d = pairwise_sqdist(lax.stop_gradient(x_local), y_full)   # [B, nl, M]
+    arange_m = jnp.arange(M, dtype=jnp.int32)
+    arange_b = jnp.arange(B)[:, None]
+
+    def make_round(eps_p):
+        def round_fn(state):
+            it, _, assignment, assignment_inv, price = state
+            unassigned = assignment < 0                       # [B, nl]
+            value = -d - price[:, None, :]                    # [B, nl, M]
+            best_val = jnp.max(value, axis=-1)
+            best_idx = jnp.argmax(value, axis=-1).astype(jnp.int32)
+            masked = jnp.where(
+                arange_m[None, None, :] == best_idx[..., None],
+                -jnp.inf, value)
+            second_val = jnp.max(masked, axis=-1)
+            bid_inc = best_val - second_val + eps_p           # [B, nl]
+
+            bids_on = unassigned[..., None] & (
+                best_idx[..., None] == arange_m[None, None, :])
+            bid_mat = jnp.where(bids_on, bid_inc[..., None], -jnp.inf)
+            part_bid = jnp.max(bid_mat, axis=1)               # [B, M]
+            part_row = row_base + jnp.argmax(bid_mat, axis=1).astype(
+                jnp.int32)                                    # [B, M]
+            all_bids = lax.all_gather(part_bid, axis)         # [P, B, M]
+            all_rows = lax.all_gather(part_row, axis)         # [P, B, M]
+            src = jnp.argmax(all_bids, axis=0)                # [B, M]
+            max_bid = jnp.max(all_bids, axis=0)
+            winner = jnp.take_along_axis(all_rows, src[None], axis=0)[0]
+            has_bid = jnp.isfinite(max_bid)                   # [B, M]
+
+            # evict previous owners (rows living on this shard), then
+            # install winners — same order as the unsharded round
+            prev = assignment_inv                             # [B, M] global
+            mine_prev = has_bid & (prev >= row_base) & (prev < row_base
+                                                        + n_local)
+            evict_local = jnp.where(mine_prev, prev - row_base, n_local)
+            assignment = assignment.at[arange_b, evict_local].set(
+                -1, mode="drop")
+            mine_win = has_bid & (winner >= row_base) & (winner < row_base
+                                                         + n_local)
+            win_local = jnp.where(mine_win, winner - row_base, n_local)
+            item = jnp.broadcast_to(arange_m[None, :], (B, M))
+            assignment = assignment.at[arange_b, win_local].set(
+                item, mode="drop")
+            assignment_inv = jnp.where(has_bid, winner, assignment_inv)
+            price = price + jnp.where(has_bid, max_bid, 0.0)
+            n_un = lax.psum(jnp.sum(assignment < 0), axis)
+            return it + 1, n_un, assignment, assignment_inv, price
+        return round_fn
+
+    it = jnp.int32(0)
+    price = jnp.zeros((B, M), d.dtype)
+    assignment = jnp.full((B, n_local), -1, jnp.int32)
+    assignment_inv = jnp.full((B, M), -1, jnp.int32)
+    for p in range(phases):
+        eps_p = eps * (theta ** (phases - 1 - p))
+        assignment = jnp.full((B, n_local), -1, jnp.int32)
+        assignment_inv = jnp.full((B, M), -1, jnp.int32)
+        it, _, assignment, assignment_inv, price = lax.while_loop(
+            lambda s: (s[0] < iters) & (s[1] > 0),
+            make_round(eps_p),
+            (it, jnp.int32(B * N), assignment, assignment_inv, price))
+
+    value = -d - price[:, None, :]
+    best_idx = jnp.argmax(value, axis=-1).astype(jnp.int32)
+    assignment = jnp.where(assignment < 0, best_idx, assignment)
+    matched = jnp.take_along_axis(y_full, assignment[..., None], axis=1)
+    dist = jnp.sum((x_local - matched) ** 2, axis=-1)
+    return dist, assignment
 
 
 def global_max_points(x_local: jax.Array, axis: str = "points") -> jax.Array:

@@ -54,6 +54,59 @@ class TestPointShardedChamfer:
                                    np.asarray(jnp.min(d, -2)), atol=1e-5)
 
 
+class TestPointShardedEmd:
+    """Sharded auction vs `emd_auction(..., scaled=True)` (the XLA path on
+    CPU): identical round dynamics -> identical assignments, distances and
+    the grad-to-xyz1-only backward."""
+
+    def test_matches_unsharded(self, mesh, x, rng):
+        from jax.experimental.shard_map import shard_map
+        from sp_gan_tpu.ops.emd import emd_auction
+        from sp_gan_tpu.parallel.points import emd_auction_local
+
+        y = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
+
+        def local(xl, yl):
+            return emd_auction_local(xl, yl, eps=0.005, iters=5000)
+
+        dist_s, ass_s = shard_map(
+            local, mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(None, "points", None),) * 2,
+            out_specs=(jax.sharding.PartitionSpec(None, "points"),) * 2,
+            check_rep=False)(x, y)
+        dist_u, ass_u = emd_auction(x, y, 0.005, 5000, True)
+        np.testing.assert_array_equal(np.asarray(ass_s), np.asarray(ass_u))
+        np.testing.assert_allclose(np.asarray(dist_s), np.asarray(dist_u),
+                                   rtol=1e-5, atol=1e-6)
+        # bijection (converged within the cap)
+        for b in range(2):
+            assert len(set(np.asarray(ass_s)[b])) == 64
+
+    def test_grad_to_xyz1_only(self, mesh, x, rng):
+        from jax.experimental.shard_map import shard_map
+        from sp_gan_tpu.ops.emd import emd_auction
+        from sp_gan_tpu.parallel.points import emd_auction_local
+        P = jax.sharding.PartitionSpec
+
+        y = jnp.array(rng.standard_normal((2, 64, 3)).astype(np.float32))
+
+        def loss_s(xx, yy):
+            f = shard_map(
+                lambda a, b: emd_auction_local(a, b, 0.005, 5000)[0],
+                mesh=mesh, in_specs=(P(None, "points", None),) * 2,
+                out_specs=P(None, "points"), check_rep=False)
+            return f(xx, yy).sum()
+
+        def loss_u(xx, yy):
+            return emd_auction(xx, yy, 0.005, 5000, True)[0].sum()
+
+        gx_s, gy_s = jax.grad(loss_s, argnums=(0, 1))(x, y)
+        gx_u, gy_u = jax.grad(loss_u, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_u),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.all(np.asarray(gy_s) == 0) and np.all(np.asarray(gy_u) == 0)
+
+
 class TestPointShardedTrainStep:
     """The full point-sharded train step (VERDICT r2 #2): single-chip
     equivalence vs the unsharded step, and an actual 2-D-mesh Trainer run."""
