@@ -242,9 +242,14 @@ def make_train_step_pointsharded(
 
     --attn works sharded (queries local, keys/values all-gathered — see
     nn.layers.Attention) and --n_mix works sharded (anchor distance rows
-    computed from the sphere on the fly; no [N, N] matrix).
-    Unsupported in this step (asserted off): --mix / --gp_mapping (need a
-    sharded EMD), per-shard BN stats, fused pallas EdgeBlocks.
+    computed from the sphere on the fly; no [N, N] matrix). --mix and
+    --gp_mapping work sharded too: both route their EMD through
+    `parallel.points.emd_auction_local` (shard-local [N/P, N] distance
+    tiles, replicated prices), CutMix ranks on all-gathered anchor-distance
+    scalars, and the GP's gradient norm psums its squares over `points`
+    (see losses/gp.py, losses/cutmix.py).
+    Unsupported in this step (asserted off): per-shard BN stats, fused
+    pallas EdgeBlocks.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -254,7 +259,7 @@ def make_train_step_pointsharded(
     assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
     n_data, n_points_shards = mesh.devices.shape
     assert cfg.np % n_points_shards == 0
-    assert not cfg.mix and not cfg.gp_mapping and cfg.bn_groups == 1
+    assert cfg.bn_groups == 1
     scfg = cfg.replace(data_axis="data", points_axis="points",
                        fused_train=False, fused_dphase=False)
     G, D = Generator(scfg), Discriminator(scfg)
@@ -305,9 +310,11 @@ def make_train_step_pointsharded(
         ee_local = jax.lax.dynamic_slice_in_dim(
             template_ee, p * n_local, n_local, 0)[None]       # [1,n_local,k,6]
         rng, k_zd, k_zg, k_nd, k_ng, k_gp = jax.random.split(state.rng, 6)
+        # k_gp stays UNfolded: wgan_gp/cutmix draw global-batch-shaped
+        # randomness from it and slice this shard's rows (like local_z), so
+        # the sharded step reproduces the unsharded draws bit-identically
         k_nd = jax.random.fold_in(k_nd, jax.lax.axis_index("data"))
         k_ng = jax.random.fold_in(k_ng, jax.lax.axis_index("data"))
-        k_gp = jax.random.fold_in(k_gp, jax.lax.axis_index("data"))
 
         # ---------------- D step ----------------
         z_d = local_z(k_zd, B_local)
@@ -325,8 +332,23 @@ def make_train_step_pointsharded(
                 d_only = lambda pts: d_forward(d_params, state.d_stats,
                                                pts)[0]
                 loss = loss + wgan_gp(d_only, real_local, fake, k_gp,
-                                      cfg.lambda_gp)
-            return jax.lax.pmean(loss, axes), (mut2["batch_stats"], info)
+                                      cfg.lambda_gp,
+                                      emd_pairing=cfg.gp_mapping,
+                                      emd_iters=cfg.gp_emd_iters,
+                                      points_axis="points",
+                                      data_axis="data")
+            d_stats_out = mut2["batch_stats"]
+            if cfg.mix:
+                from sp_gan_tpu.losses import cutmix, mix_loss
+                mixed, _, _ = cutmix(k_gp, real_local, fake,
+                                     emd_iters=cfg.mix_emd_iters,
+                                     points_axis="points",
+                                     data_axis="data")
+                logit_mix, mut3 = d_forward(d_params, d_stats_out, mixed)
+                m_loss, _ = mix_loss(logit_mix, gan=cfg.gan)
+                loss = loss + m_loss
+                d_stats_out = mut3["batch_stats"]
+            return jax.lax.pmean(loss, axes), (d_stats_out, info)
 
         # Under manual-mode shard_map (check_rep=False) psum transposes to
         # psum, so the backward — seeded 1 on every shard — differentiates

@@ -195,6 +195,75 @@ class TestPointShardedTrainStep:
         state, m = step(state, real)
         assert np.isfinite(float(m["d_loss"]))
 
+    def test_mix_matches_unsharded(self, rng):
+        """--mix (CutMix) under point sharding: global-shaped lam/anchor/flip
+        draws sliced per shard, psum-fetched anchor point, rank on gathered
+        distances, sharded EMD alignment — must reproduce the unsharded
+        CutMix losses."""
+        from sp_gan_tpu.config import Config
+        cfg = Config(np=64, bs=4, nk=8, nz=16, dtype="float32", mix=True,
+                     donate_state=False, use_pallas=False)
+        mesh = make_mesh((2, 4), ("data", "points"))
+        real = jnp.array(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        state_u, step_u = self._mk(cfg, sgd=True)
+        state_s, step_s = self._mk(cfg, mesh, sgd=True)
+        state_u, m_u = step_u(state_u, real)
+        state_s, m_s = step_s(state_s, real)
+        for key in m_u:
+            np.testing.assert_allclose(float(m_u[key]), float(m_s[key]),
+                                       rtol=2e-4, atol=1e-6, err_msg=key)
+        for a, b in zip(jax.tree_util.tree_leaves(state_u.d_params),
+                        jax.tree_util.tree_leaves(state_s.d_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=1e-3)
+
+    def test_wgan_gp_mapping_matches_unsharded(self, rng):
+        """--gan wgan --gp_mapping under point sharding.
+
+        What CAN be pinned tightly here is the penalty VALUE (inside
+        d_loss): any two epsilon-optimal auction bijections give penalties
+        within the N*eps bound, so d_loss agrees to ~1% — while a sharding
+        bug (per-shard norm, or a norm missing the P_points
+        cotangent-replication correction) is off 2-4x. What CANNOT be
+        pinned is the one-step gradient/param trajectory: the pairing is a
+        DISCRETE selection among many near-optimal bijections of the
+        generator's clustered init clouds, and measurement showed the
+        ~2e-6 fp shift between the two steps' differently-compiled G
+        forwards legitimately flips ~4% of assignments (even the
+        unsharded auction flips 10/256 pairs under a 2e-6 input shift;
+        the sharded auction is bit-identical to the unsharded one on
+        EQUAL inputs — see TestPointShardedEmd). The flipped pairs
+        reroute the GP gradient, so post-step params diverge beyond any
+        meaningful tolerance by chaos, not by error. Exact machinery
+        equivalence (alphas, sharded pairing, P^2 norm correction,
+        param-gradients) is pinned at 1e-6 with deterministic inputs in
+        TestShardedWganGp below."""
+        from sp_gan_tpu.config import Config
+        cfg = Config(np=64, bs=4, nk=8, nz=16, dtype="float32", gan="wgan",
+                     gp_mapping=True, gp_emd_iters=100,
+                     donate_state=False, use_pallas=False)
+        mesh = make_mesh((2, 4), ("data", "points"))
+        real = jnp.array(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        state_u, step_u = self._mk(cfg, sgd=True)
+        state_s, step_s = self._mk(cfg, mesh, sgd=True)
+        state_u, m_u = step_u(state_u, real)
+        state_s, m_s = step_s(state_s, real)
+        np.testing.assert_allclose(float(m_u["d_loss"]), float(m_s["d_loss"]),
+                                   rtol=2e-2, err_msg="d_loss")
+        for key in m_s:
+            assert np.isfinite(float(m_s[key])), key
+        # params moved, and by the same order of magnitude (an SGD step
+        # through EITHER valid pairing): guards against NaN/zero/blowup
+        for p0, a, b in zip(
+                jax.tree_util.tree_leaves(self._mk(cfg, sgd=True)[0].d_params),
+                jax.tree_util.tree_leaves(state_u.d_params),
+                jax.tree_util.tree_leaves(state_s.d_params)):
+            du = np.abs(np.asarray(p0) - np.asarray(a)).max()
+            ds = np.abs(np.asarray(p0) - np.asarray(b)).max()
+            assert np.isfinite(ds)
+            if du > 1e-5:
+                assert ds < 10 * du + 1e-4
+
     def test_attn_matches_unsharded(self, rng):
         """--attn under point sharding: local queries vs all-gathered
         keys/values reproduce the dense N x N attention."""
@@ -272,6 +341,59 @@ class TestPointShardedTrainStep:
         assert int(state.step) == 2
         pcs = tr.generate(2)
         assert pcs.shape == (2, 32, 3) and np.all(np.isfinite(pcs))
+
+
+class TestShardedWganGp:
+    """wgan_gp with points_axis/data_axis vs the dense call — exact (1e-6)
+    with deterministic toy discriminators, isolating the sharded-GP
+    machinery (global-draw alpha slicing, the P_points^2 sum-of-squares
+    normalization, sharded EMD pairing) from the GAN models' fp noise."""
+
+    def _clouds(self, rng):
+        real = jnp.array(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        fake = jnp.array(rng.standard_normal((4, 64, 3)).astype(np.float32))
+        return real, fake
+
+    @pytest.mark.parametrize("mapping", [False, True])
+    def test_matches_dense(self, rng, mapping):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        from sp_gan_tpu.losses.gp import wgan_gp
+
+        real, fake = self._clouds(rng)
+        key = jax.random.PRNGKey(7)
+
+        # BN-like global batch stats + a nonlinearity: exercises both the
+        # points-replicated cotangents AND cross-item stat coupling
+        def d_dense(pts):
+            mu = jnp.mean(pts, axis=(0, 1), keepdims=True)
+            var = jnp.mean((pts - mu) ** 2, axis=(0, 1), keepdims=True)
+            h = (pts - mu) / jnp.sqrt(var + 1e-5)
+            return jnp.sum(jnp.tanh(h), axis=(1, 2))
+
+        def d_local(pts):
+            mu = jax.lax.pmean(jnp.mean(pts, axis=(0, 1), keepdims=True),
+                               ("data", "points"))
+            var = jax.lax.pmean(
+                jnp.mean((pts - mu) ** 2, axis=(0, 1), keepdims=True),
+                ("data", "points"))
+            h = (pts - mu) / jnp.sqrt(var + 1e-5)
+            return jax.lax.psum(jnp.sum(jnp.tanh(h), axis=(1, 2)), "points")
+
+        gp_u = wgan_gp(d_dense, real, fake, key, 10.0, emd_pairing=mapping,
+                       emd_iters=100)
+        mesh = make_mesh((2, 4), ("data", "points"))
+
+        def local(r, f):
+            g = wgan_gp(d_local, r, f, key, 10.0, emd_pairing=mapping,
+                        emd_iters=100, points_axis="points",
+                        data_axis="data")
+            return jax.lax.pmean(g, ("data", "points"))
+
+        gp_s = shard_map(local, mesh=mesh,
+                         in_specs=(P("data", "points", None),) * 2,
+                         out_specs=P(), check_rep=False)(real, fake)
+        np.testing.assert_allclose(float(gp_u), float(gp_s), rtol=1e-6)
 
 
 class TestCombinedMesh:
