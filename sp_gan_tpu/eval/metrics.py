@@ -39,7 +39,8 @@ def pairwise_cd_matrix(gen: jax.Array, ref: jax.Array,
 
 def pairwise_emd_matrix(gen: jax.Array, ref: jax.Array, eps: float = 0.005,
                         iters: int = 50, row_batch: int = 8,
-                        scaled: bool = True) -> np.ndarray:
+                        scaled: bool = True, mesh=None,
+                        mesh_axis: str = "points") -> np.ndarray:
     """[S1,N,3] x [S2,N,3] -> [S1,S2] mean L2 EMD (lgan protocol,
     `_pairwise_EMD_CD_`, loss_utils.py:311-340). Rows processed in batches —
     each entry is an auction solve, the expensive metric.
@@ -47,7 +48,19 @@ def pairwise_emd_matrix(gen: jax.Array, ref: jax.Array, eps: float = 0.005,
     scaled=True (default) solves with epsilon-scaling + early termination:
     the same N*eps optimality contract as the reference's fixed 10000-iter
     test regime, at a fraction of the rounds (validated vs Hungarian and
-    the fixed-iteration solver — see BASELINE.md EMD audit)."""
+    the fixed-iteration solver — see BASELINE.md EMD audit).
+
+    mesh= shards every solve's quadratic [N, N] distance tile over the
+    mesh's `mesh_axis` axis (parallel.points.pairwise_emd_matrix_pointsharded)
+    — the large-N protocol path; requires scaled=True (the sharded solver is
+    the eps-scaling auction)."""
+    if mesh is not None:
+        assert scaled, "point-sharded protocol implements the scaled solver"
+        from sp_gan_tpu.parallel.points import (
+            pairwise_emd_matrix_pointsharded)
+        return pairwise_emd_matrix_pointsharded(
+            gen, ref, mesh, eps=eps, iters=iters, row_batch=row_batch,
+            axis=mesh_axis)
     S1, S2 = gen.shape[0], ref.shape[0]
 
     @jax.jit

@@ -430,3 +430,30 @@ class TestCombinedMesh:
         for b in range(4):
             for n in range(64):
                 assert set(idx_s[b, n]) == set(idx_d[b, n])
+
+
+class TestPointShardedEmdProtocol:
+    """Point-sharded metric-protocol EMD matrix == the unsharded lgan
+    protocol (`eval.metrics.pairwise_emd_matrix`), via the mesh= passthrough
+    and directly."""
+
+    def test_matches_unsharded_protocol(self, mesh, rng):
+        from sp_gan_tpu.eval.metrics import pairwise_emd_matrix
+        from sp_gan_tpu.parallel.points import (
+            pairwise_emd_matrix_pointsharded)
+
+        gen = jnp.array(rng.standard_normal((3, 64, 3)).astype(np.float32))
+        ref = jnp.array(rng.standard_normal((5, 64, 3)).astype(np.float32))
+
+        m_u = pairwise_emd_matrix(gen, ref, eps=0.005, iters=5000,
+                                  row_batch=2)
+        m_s = pairwise_emd_matrix_pointsharded(gen, ref, mesh, eps=0.005,
+                                               iters=5000, row_batch=2)
+        m_p = pairwise_emd_matrix(gen, ref, eps=0.005, iters=5000,
+                                  row_batch=2, mesh=mesh)
+        assert m_u.shape == (3, 5)
+        # entries agree to the solvers' shared N*eps optimality contract
+        # (ulp-level fusion differences between the two wrappers can flip
+        # a near-tie bid; see pairwise_emd_matrix_pointsharded docstring)
+        np.testing.assert_allclose(m_s, m_u, rtol=1e-3)
+        np.testing.assert_array_equal(m_p, m_s)

@@ -30,7 +30,8 @@ def test_public_api_imports():
     from sp_gan_tpu.parallel import (  # noqa: F401
         make_mesh, batch_sharding, shard_batch)
     from sp_gan_tpu.parallel.points import (  # noqa: F401
-        knn_pointsharded, edge_features_pointsharded, chamfer_pointsharded)
+        knn_pointsharded, edge_features_pointsharded, chamfer_pointsharded,
+        pairwise_emd_matrix_pointsharded)
     from sp_gan_tpu.manipulate import (  # noqa: F401
         Manipulator, from_checkpoint, blend_z, replace_z, flip_z, exchange_z,
         half_space_mask, region_mask)
