@@ -27,6 +27,10 @@ def main():
     p.add_argument("--fpd", action="store_true", help="include FPD (random-"
                    "feature unless --fpd_stats trained stats are given)")
     p.add_argument("--fpd_stats", default=None)
+    p.add_argument("--mesh_points", type=int, default=0,
+                   help="shard each EMD solve's quadratic distance tile "
+                        "over this many devices (points mesh) — lifts the "
+                        "single-chip memory ceiling for large-N protocols")
     p.add_argument("--fpd_weights", default=None,
                    help="reference-protocol DGCNN classifier weights "
                         "(Classify_dgcnn_cls_k40_1024_b32.pkl) for "
@@ -58,9 +62,15 @@ def main():
     else:
         ref = np.load(args.ref)
 
+    mesh = None
+    if args.mesh_points:
+        from sp_gan_tpu.parallel import make_mesh
+        mesh = make_mesh((args.mesh_points,), ("points",))
+
     n = min(len(gen), len(ref))
     metrics = compute_all_metrics(gen[:n], ref[:n], normalize=args.normalize,
-                                  use_emd=args.emd, emd_iters=args.emd_iters)
+                                  use_emd=args.emd, emd_iters=args.emd_iters,
+                                  mesh=mesh)
     if args.fpd:
         fpd = (FPD.from_torch(args.fpd_weights) if args.fpd_weights
                else FPD())

@@ -144,6 +144,7 @@ def compute_all_metrics(
     use_emd: bool = False,
     emd_eps: float = 0.002,
     emd_iters: int = 10000,
+    mesh=None,
 ) -> Dict[str, float]:
     """The reference evaluation protocol (`compute_all_metrics2`,
     loss_utils.py:430-463): JSD + COV-CD + MMD-CD + 1NN-CD; optional EMD
@@ -155,7 +156,10 @@ def compute_all_metrics(
     forced final assignment of an unconverged auction is not a valid
     matching): -26% at 512 iters, -10% at 2000, -4% at 4000 on N=2048
     shape pairs. Lower emd_iters only for smoke tests, never for reported
-    numbers."""
+    numbers.
+
+    mesh= shards each EMD solve's quadratic distance tile over a points
+    mesh (see pairwise_emd_matrix) — the large-N protocol path."""
     from sp_gan_tpu.data.augment import normalize_point_cloud
 
     gen = jnp.asarray(sample_pcs)
@@ -174,9 +178,9 @@ def compute_all_metrics(
         "1NN-CD": knn_two_sample(gg, gt, tt, 1),
     }
     if use_emd:
-        gg_e = pairwise_emd_matrix(gen, gen, emd_eps, emd_iters)
-        tt_e = pairwise_emd_matrix(ref, ref, emd_eps, emd_iters)
-        gt_e = pairwise_emd_matrix(gen, ref, emd_eps, emd_iters)
+        gg_e = pairwise_emd_matrix(gen, gen, emd_eps, emd_iters, mesh=mesh)
+        tt_e = pairwise_emd_matrix(ref, ref, emd_eps, emd_iters, mesh=mesh)
+        gt_e = pairwise_emd_matrix(gen, ref, emd_eps, emd_iters, mesh=mesh)
         out.update({
             "COV-EMD": coverage(gt_e),
             "MMD-EMD": mmd(gt_e),
