@@ -93,6 +93,23 @@ class TestFullProtocol:
         assert m["MMD-CD"] == pytest.approx(0.0, abs=1e-6)
         assert m["COV-CD"] == 1.0
 
+    def test_emd_variants_pointsharded_mesh(self, rng):
+        """mesh= routes the EMD protocol through the point-sharded auction;
+        EMD metric values match the unsharded protocol's."""
+        import jax
+        from sp_gan_tpu.parallel import make_mesh
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh((8,), ("points",))
+        gen = rng.uniform(-0.4, 0.4, (4, 32, 3)).astype(np.float32)
+        ref = rng.uniform(-0.4, 0.4, (4, 32, 3)).astype(np.float32)
+        m_u = compute_all_metrics(gen, ref, use_emd=True, emd_iters=2000)
+        m_s = compute_all_metrics(gen, ref, use_emd=True, emd_iters=2000,
+                                  mesh=mesh)
+        assert {"COV-EMD", "MMD-EMD", "1NN-EMD"} <= set(m_s)
+        assert m_s["MMD-EMD"] == pytest.approx(m_u["MMD-EMD"], rel=1e-3)
+        assert m_s["COV-EMD"] == m_u["COV-EMD"]
+
     def test_f_score(self, rng):
         x = jnp.array(rng.uniform(-0.4, 0.4, (2, 32, 3)).astype(np.float32))
         f = f_score(x, x, threshold=0.001)
