@@ -67,6 +67,32 @@ def main():
                       "steps_per_sec": round(sps, 2),
                       "points_per_sec": round(sps * BS * N)}))
 
+    # ---- default-config step rate, mixed_edge vs bfloat16_g A/B ----
+    for dt_mode in ("mixed_edge", "bfloat16_g"):
+        BS, N, T = 24, 2048, 8
+        cfg = Config(np=N, bs=BS, nk=20, nz=128, dtype=dt_mode,
+                     donate_state=True)
+        state, G, D, g_tx, d_tx = create_train_state(
+            cfg, jax.random.PRNGKey(0))
+        sphere = jnp.asarray(sphere_template(N))
+        step = make_train_step(cfg, G, D, g_tx, d_tx, sphere)
+        data = SyntheticDataset(n_items=BS * T, n_points=N).data
+        batches = jnp.asarray(data).reshape(T, BS, N, 3)
+        chunk = jax.jit(lambda st, b: jax.lax.scan(
+            lambda s, x: step(s, x), st, b), donate_argnums=0)
+        state, m = chunk(state, batches)
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        iters = 16
+        for _ in range(iters):
+            state, m = chunk(state, batches)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        sps = iters * T / dt
+        print(json.dumps({"measure": f"train N=2048 bs=24 dtype={dt_mode}",
+                          "steps_per_sec": round(sps, 2),
+                          "ms_per_step": round(1000 / sps, 2)}))
+
     # ---- blockgs auction at N=4096 (VMEM ceiling probe) ----
     from sp_gan_tpu.ops.pairwise import pairwise_sqdist
     from sp_gan_tpu.ops.pallas.auction import auction_assignment_pallas
