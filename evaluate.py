@@ -4,6 +4,8 @@ optional EMD variants and FPD) between generated samples and a reference set.
 
     python evaluate.py --gen samples.npy --ref data/test_chair.npy
     python evaluate.py --log_dir log/run --n 200 --ref data/test_chair.npy --emd
+    python evaluate.py --log_dir log/run --ckpt log/run/ckpt_epoch_1050.pkl \
+        --ema --ref held_out.npy
 """
 
 import argparse
@@ -16,6 +18,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gen", default=None, help=".npy of generated clouds")
     p.add_argument("--log_dir", default=None, help="generate from checkpoint")
+    p.add_argument("--ckpt", default=None,
+                   help="specific checkpoint file (default: newest in "
+                        "--log_dir)")
+    p.add_argument("--ema", action="store_true",
+                   help="generate with the EMA generator weights from the "
+                        "checkpoint instead of the raw ones")
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--ref", required=True, help=".npy/.h5 of reference clouds")
     p.add_argument("--normalize", action="store_true")
@@ -51,7 +59,8 @@ def main():
         from sp_gan_tpu.train.checkpoint import latest_checkpoint
         with open(os.path.join(args.log_dir, "config.json")) as f:
             cfg = Config.from_json(f.read())
-        man = from_checkpoint(latest_checkpoint(args.log_dir), cfg)
+        ckpt = args.ckpt or latest_checkpoint(args.log_dir)
+        man = from_checkpoint(ckpt, cfg, use_ema=args.ema)
         gen = man.generate(args.n)
 
     if args.ref.endswith(".h5"):

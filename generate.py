@@ -15,6 +15,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log_dir", required=True)
     p.add_argument("--ckpt", default=None, help="explicit checkpoint path")
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA generator weights from the checkpoint")
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.npy")
@@ -32,7 +34,7 @@ def main():
         cfg = Config.from_json(f.read())
     ckpt = args.ckpt or latest_checkpoint(args.log_dir)
     assert ckpt, f"no checkpoint in {args.log_dir}"
-    man = from_checkpoint(ckpt, cfg)
+    man = from_checkpoint(ckpt, cfg, use_ema=args.ema)
     pcs = man.generate(args.n, seed=args.seed)
     np.save(args.out, pcs)
     print(f"saved {pcs.shape} -> {args.out}")

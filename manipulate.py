@@ -18,6 +18,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log_dir", required=True)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA generator weights from the checkpoint")
     p.add_argument("--routine", default="correspondence")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -34,7 +36,7 @@ def main():
     with open(os.path.join(args.log_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
     ckpt = args.ckpt or latest_checkpoint(args.log_dir)
-    man = from_checkpoint(ckpt, cfg)
+    man = from_checkpoint(ckpt, cfg, use_ema=args.ema)
     out_dir = args.out_dir or os.path.join(args.log_dir, "manipulate")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -257,11 +257,21 @@ class Manipulator:
         return self.forward(zs)
 
 
-def from_checkpoint(ckpt_path: str, cfg: Config) -> Manipulator:
+def from_checkpoint(ckpt_path: str, cfg: Config,
+                    use_ema: bool = False) -> Manipulator:
     """Build a Manipulator from a training checkpoint (G-only load, like the
-    reference eval-side `load`, model_test.py:978-1009)."""
+    reference eval-side `load`, model_test.py:978-1009). `use_ema` swaps in
+    the EMA generator weights recorded by `--ema` training (the reference
+    has EMA helpers, `Common/network_utils.py:97-118`, but never serves from
+    them; the in-loop eval curves show which of the two is ahead)."""
     from sp_gan_tpu.train.checkpoint import load_checkpoint
     from sp_gan_tpu.train.state import create_train_state
     template, *_ = create_train_state(cfg, jax.random.PRNGKey(0))
     state, _ = load_checkpoint(ckpt_path, template)
-    return Manipulator(cfg, state.g_params, state.g_stats)
+    params = state.g_params
+    if use_ema:
+        if state.g_ema is None:
+            raise ValueError(f"{ckpt_path} holds no EMA weights "
+                             "(trained without --ema)")
+        params = state.g_ema
+    return Manipulator(cfg, params, state.g_stats)

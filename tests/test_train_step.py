@@ -150,6 +150,31 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.d_opt)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_from_checkpoint_ema(self, tmp_path, real_batch):
+        # from_checkpoint(use_ema=True) must serve the EMA weights, not the
+        # raw ones (and refuse when the run recorded none)
+        from sp_gan_tpu.manipulate import from_checkpoint
+
+        cfg = tiny_cfg(ema=True)
+        state, G, D, step, sphere = build(cfg)
+        state, _ = step(state, real_batch)   # raw and EMA now differ
+        assert leaves_differ(state.g_params, state.g_ema)
+        path = save_checkpoint(str(tmp_path), state, epoch=1, cfg=cfg)
+
+        man_raw = from_checkpoint(path, cfg)
+        man_ema = from_checkpoint(path, cfg, use_ema=True)
+        for got, want in ((man_raw.variables["params"], state.g_params),
+                          (man_ema.variables["params"], state.g_ema)):
+            for a, b in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        cfg_no = tiny_cfg(ema=False)
+        s2, *_ = build(cfg_no)
+        p2 = save_checkpoint(str(tmp_path / "no_ema"), s2, epoch=1, cfg=cfg_no)
+        with pytest.raises(ValueError, match="EMA"):
+            from_checkpoint(p2, cfg_no, use_ema=True)
+
     def test_resume_continues(self, tmp_path, real_batch):
         cfg = tiny_cfg()
         state, G, D, step, sphere = build(cfg)
