@@ -44,6 +44,22 @@ def main():
         print(f"| {step} | {pair('MMD-CD', '.5f')} | {pair('COV-CD', '.3f')}"
               f" | {pair('1NN-CD', '.3f')} | {pair('JSD', '.4f')} |")
 
+    # summary: best snapshot per metric (ema), for checkpoint selection
+    def best(key, lo_good=True, dist_to=None):
+        def score(e):
+            v = (recs[e].get("ema") or recs[e]["raw"])[key]
+            return abs(v - dist_to) if dist_to is not None else \
+                (v if lo_good else -v)
+        e = min(epochs, key=score)
+        return e, (recs[e].get("ema") or recs[e]["raw"])[key]
+
+    print()
+    for key, kw in (("MMD-CD", {}), ("COV-CD", {"lo_good": False}),
+                    ("1NN-CD", {"dist_to": 0.5}), ("JSD", {})):
+        e, v = best(key, **kw)
+        print(f"best {key}: {v:.5f} at epoch {e} "
+              f"(step {e * args.steps_per_epoch})")
+
 
 if __name__ == "__main__":
     main()
