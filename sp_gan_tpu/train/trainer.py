@@ -163,9 +163,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def evaluate(self, epoch: int, global_step: int) -> dict:
         """In-loop quality evaluation: MMD-CD / COV-CD / 1NN-CD / JSD of
-        `eval_size` generated clouds against a fixed held-out draw from the
-        data distribution, for raw and (when enabled) EMA generator weights.
-        Results go to the log and `log_dir/eval.jsonl`.
+        `eval_size` generated clouds against a fixed reference draw from the
+        TRAINING data (the standard gen-vs-train monitoring protocol; for
+        final numbers use evaluate.py against a disjoint test set), for raw
+        and (when enabled) EMA generator weights. Results go to the log and
+        `log_dir/eval.jsonl`.
 
         The reference's only in-training quality monitor is periodic sample
         plots (`/root/reference/Generation/model.py:304-307,371-410`); this
