@@ -34,6 +34,11 @@ def main():
         cfg = cfg.replace(ema=True)           # EMA-vs-raw curves
     if cfg.steps_per_epoch is None:
         cfg = cfg.replace(steps_per_epoch=100)
+    if cfg.watchdog_secs == 0:
+        # exit 42 on a wedged device dispatch (observed in this
+        # environment) so campaign_supervised.sh restarts from the last
+        # snapshot; well above cold-compile (~3 min) and eval cost
+        cfg = cfg.replace(watchdog_secs=600)
 
     from sp_gan_tpu.data import SyntheticDataset
     from sp_gan_tpu.train import Trainer

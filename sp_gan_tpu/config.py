@@ -144,6 +144,10 @@ class Config:
     nan_guard: bool = False            # skip optimizer updates on non-finite grads
                                        # (reference's unused _check_grad_ok,
                                        # Common/network_utils.py:58-69, made live)
+    watchdog_secs: int = 0             # >0: exit(42) when no train dispatch
+                                       # completes for this long (wedged
+                                       # device client); pair with a
+                                       # supervisor that restarts --restore
     donate_state: bool = True          # donate train-state buffers to the jitted step
     log_every: int = 10                # steps between metric log lines
     steps_per_call: int = 8            # train steps fused into one dispatch

@@ -306,6 +306,18 @@ class Trainer:
             data_key = jax.random.PRNGKey(cfg.seed + 3)
 
         from sp_gan_tpu.utils.profiling import StepTimer
+        from sp_gan_tpu.utils.watchdog import Watchdog
+
+        # hang watchdog: a wedged device dispatch (client blocked in an RPC
+        # forever) otherwise stalls a campaign silently; exit(42) lets a
+        # supervisor restart with --restore (scripts/campaign_supervised.sh)
+        dog = None
+        if cfg.watchdog_secs > 0:
+            def _on_timeout(stale, self=self):
+                self.log(f"[watchdog] no progress for {stale:.0f}s; "
+                         "exiting 42 for supervised restart")
+                os._exit(42)
+            dog = Watchdog(cfg.watchdog_secs, _on_timeout).start()
 
         d_meter, g_meter = AverageValueMeter(), AverageValueMeter()
         ra_meter, fa_meter = AverageValueMeter(), AverageValueMeter()
@@ -334,6 +346,8 @@ class Trainer:
                         .astype(np.int32).reshape(T, cfg.bs))
                     data_key, k = jax.random.split(data_key)
                     self.state, metrics = step_from_idx(self.state, idxs, k)
+                    if dog:
+                        dog.beat()
                     global_step += T
                     rate = None
                     for _ in range(T):
@@ -378,6 +392,8 @@ class Trainer:
                     self.evaluate(epoch, global_step)
                 if epoch % cfg.snapshot == 0:
                     save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
+                if dog:
+                    dog.beat()      # eval/checkpoint epochs run long
                 continue
 
             batches = prefetch_to_device(
@@ -388,6 +404,8 @@ class Trainer:
                     aug_key, k = jax.random.split(aug_key)
                     real = self._augment(k, real)
                 self.state, metrics = self.train_step(self.state, real)
+                if dog:
+                    dog.beat()
                 global_step += 1
                 rate = timer.tick()
                 if rate:
@@ -419,7 +437,11 @@ class Trainer:
                 self.evaluate(epoch, global_step)
             if epoch % cfg.snapshot == 0:
                 save_checkpoint(cfg.log_dir, self.state, epoch, cfg)
+            if dog:
+                dog.beat()
 
+        if dog:
+            dog.stop()
         save_checkpoint(cfg.log_dir, self.state, max_epoch, cfg)
         return self.state
 
