@@ -39,6 +39,19 @@ class Trainer:
     def __init__(self, cfg: Config, dataset=None):
         enable_compile_cache()
         self.cfg = cfg
+        # hang watchdog (see utils/watchdog.py): covers __init__ too —
+        # restore/state-creation/first-compile also block on the device and
+        # can wedge; train() beats it after every dispatch
+        self._dog = None
+        if cfg.watchdog_secs > 0:
+            from sp_gan_tpu.utils.watchdog import Watchdog
+
+            def _on_timeout(stale):
+                # self.log may not exist yet during __init__
+                print(f"[watchdog] no progress for {stale:.0f}s; "
+                      "exiting 42 for supervised restart", flush=True)
+                os._exit(42)
+            self._dog = Watchdog(cfg.watchdog_secs, _on_timeout).start()
         os.makedirs(cfg.log_dir, exist_ok=True)
         self._log_fout = open(
             os.path.join(cfg.log_dir, "log_train.txt"),
@@ -306,18 +319,10 @@ class Trainer:
             data_key = jax.random.PRNGKey(cfg.seed + 3)
 
         from sp_gan_tpu.utils.profiling import StepTimer
-        from sp_gan_tpu.utils.watchdog import Watchdog
 
-        # hang watchdog: a wedged device dispatch (client blocked in an RPC
-        # forever) otherwise stalls a campaign silently; exit(42) lets a
-        # supervisor restart with --restore (scripts/campaign_supervised.sh)
-        dog = None
-        if cfg.watchdog_secs > 0:
-            def _on_timeout(stale, self=self):
-                self.log(f"[watchdog] no progress for {stale:.0f}s; "
-                         "exiting 42 for supervised restart")
-                os._exit(42)
-            dog = Watchdog(cfg.watchdog_secs, _on_timeout).start()
+        dog = self._dog
+        if dog:
+            dog.beat()
 
         d_meter, g_meter = AverageValueMeter(), AverageValueMeter()
         ra_meter, fa_meter = AverageValueMeter(), AverageValueMeter()
