@@ -131,8 +131,11 @@ class Config:
                                        # global = GSPMD full-array semantics
                                        # (synchronized BN across shards, free);
                                        # per_shard = the reference DataParallel's
-                                       # per-replica stats (model.py:79-84),
-                                       # groups = product(mesh_shape)
+                                       # per-replica stats (model.py:79-84):
+                                       # groups = product(mesh_shape) on the
+                                       # GSPMD path; per-data-shard stats with
+                                       # replica-0 running averages under the
+                                       # point-sharded step
     pool_commute: bool = True          # fuse D's fc2 BN+lrelu+max-pool by
                                        # commuting the monotone affine past
                                        # the pool (MaxPoolBNLReLU): the
@@ -198,8 +201,11 @@ class Config:
 
     @property
     def bn_groups(self) -> int:
-        """Stat groups for SPBatchNorm under cfg.bn_stats."""
-        if self.bn_stats == "per_shard":
+        """Stat groups for SPBatchNorm under cfg.bn_stats (GSPMD path only:
+        under the explicit shard_map step — data_axis set — per-shard stats
+        come from restricted collectives instead, see
+        nn.layers.bn_collective_axes)."""
+        if self.bn_stats == "per_shard" and self.data_axis is None:
             g = 1
             for d in self.mesh_shape:
                 g *= int(d)

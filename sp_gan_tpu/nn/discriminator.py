@@ -30,9 +30,11 @@ class Discriminator(nn.Module):
         and replicated across point shards)."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.d_bf16 else jnp.float32
-        bn_axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
+        from sp_gan_tpu.nn.layers import bn_collective_axes
+        bn_axes, bn_r0 = bn_collective_axes(cfg)
         bn = lambda name, v: SPBatchNorm(
-            name=name, groups=cfg.bn_groups, axis_names=bn_axes)(
+            name=name, groups=cfg.bn_groups, axis_names=bn_axes,
+            replica0_axes=bn_r0)(
             v, train=train)
 
         h = x.astype(dtype)

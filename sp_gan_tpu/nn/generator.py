@@ -120,16 +120,16 @@ class Generator(nn.Module):
             # bf16 confined to the EdgeBlock internals (the HBM-bound edge
             # tensors); the trunk, norms, losses and gradients stay f32
             eb_kwargs["mixed"] = True
-        bn_axes = ()
-        if cfg.points_axis is not None:
-            # point-sharded step (shard_map): shard-local edge ops, explicit
-            # collectives for every cross-point statistic
-            bn_axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
-            eb_kwargs["points_axis"] = cfg.points_axis
+        bn_axes, bn_r0 = (), ()
+        if cfg.points_axis is not None or cfg.data_axis is not None:
+            # explicit shard_map step: shard-local edge ops, explicit
+            # collectives for every cross-shard BN statistic
+            from sp_gan_tpu.nn.layers import bn_collective_axes
+            bn_axes, bn_r0 = bn_collective_axes(cfg)
             eb_kwargs["bn_axes"] = bn_axes
-        elif cfg.data_axis is not None:
-            bn_axes = (cfg.data_axis,)
-            eb_kwargs["bn_axes"] = bn_axes
+            eb_kwargs["bn_replica0_axes"] = bn_r0
+            if cfg.points_axis is not None:
+                eb_kwargs["points_axis"] = cfg.points_axis
         if eb_kwargs:
             EB = functools.partial(EB, **eb_kwargs)
         if cfg.use_head:
@@ -161,12 +161,14 @@ class Generator(nn.Module):
             feat_global = jnp.max(x2, axis=1)                     # [B, dim]
         feat_global = Dense(dim, name="global1")(feat_global)
         feat_global = SPBatchNorm(name="global_bn1", groups=cfg.bn_groups,
-                                  axis_names=bn_axes)(
+                                  axis_names=bn_axes,
+                                  replica0_axes=bn_r0)(
             feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = Dense(512, name="global2")(feat_global)
         feat_global = SPBatchNorm(name="global_bn2", groups=cfg.bn_groups,
-                                  axis_names=bn_axes)(
+                                  axis_names=bn_axes,
+                                  replica0_axes=bn_r0)(
             feat_global, train=train)
         feat_global = nn.leaky_relu(feat_global, NEG)
         feat_global = jnp.broadcast_to(feat_global[:, None, :], (B, N, 512))

@@ -158,6 +158,14 @@ class SPBatchNorm(nn.Module):
     pure array math so GSPMD keeps the group reductions shard-local when the
     batch sharding is aligned. Running averages then track group 0, matching
     torch DataParallel's keep-replica-0-buffers behavior.
+
+    Under the explicit shard_map step the same two scopes are expressed with
+    collectives instead: `axis_names` pmeans the moments across shards
+    (global/sync-BN), while `replica0_axes` names axes that statistics do
+    NOT pool over — each shard normalizes by its own batch stats (the
+    per-replica DataParallel semantics) and the running averages track
+    index 0 along those axes (torch keeps the master replica's buffers), so
+    the nominally-replicated state stays bitwise identical on every device.
     """
 
     momentum: float = 0.9
@@ -166,6 +174,11 @@ class SPBatchNorm(nn.Module):
     axis_names: Sequence[str] = ()   # shard_map axes to pmean statistics
                                      # over (the point-sharded train step);
                                      # incompatible with groups > 1
+    replica0_axes: Sequence[str] = ()  # shard_map axes excluded from stat
+                                       # pooling; running averages take
+                                       # index-0's value along them
+                                       # (cfg.bn_stats="per_shard" under the
+                                       # point-sharded step)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -181,6 +194,8 @@ class SPBatchNorm(nn.Module):
         G = 1 if self.is_initializing() else self.groups
         assert not (self.axis_names and G > 1), \
             "per-shard BN groups are not supported under explicit shard_map"
+        assert not set(self.replica0_axes) & set(self.axis_names), \
+            "an axis cannot be both pooled and per-replica"
         if train:
             xf = x.astype(jnp.float32)
             if G > 1:
@@ -202,10 +217,19 @@ class SPBatchNorm(nn.Module):
                 var = sq - mean * mean
                 batch_mean, batch_var = mean, var
             if not self.is_initializing():
+                rm, rv = batch_mean, batch_var
+                for ax in self.replica0_axes:
+                    # running averages track index 0 along per-replica axes
+                    # (torch DataParallel keeps the master replica's
+                    # buffers); the broadcast keeps the replicated state
+                    # identical on every shard
+                    sel = (jax.lax.axis_index(ax) == 0).astype(jnp.float32)
+                    rm = jax.lax.psum(rm * sel, ax)
+                    rv = jax.lax.psum(rv * sel, ax)
                 ra_mean.value = self.momentum * ra_mean.value \
-                    + (1 - self.momentum) * batch_mean
+                    + (1 - self.momentum) * rm
                 ra_var.value = self.momentum * ra_var.value \
-                    + (1 - self.momentum) * batch_var
+                    + (1 - self.momentum) * rv
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
@@ -218,6 +242,23 @@ class SPBatchNorm(nn.Module):
         else:
             y = (x.astype(jnp.float32) - mean) * inv + bias
         return y.astype(x.dtype)
+
+
+def bn_collective_axes(cfg):
+    """(axis_names, replica0_axes) for SPBatchNorm under the explicit
+    shard_map train step (cfg.data_axis / cfg.points_axis set).
+
+    bn_stats="global": moments pmean over every mesh axis — sync-BN.
+    bn_stats="per_shard": moments pool over the points axis only, so each
+    data replica normalizes by its own batch statistics (the reference
+    DataParallel's per-replica semantics, `Generation/model.py:79-84`) and
+    running averages track data-replica 0 (torch keeps the master replica's
+    buffers)."""
+    axes = tuple(a for a in (cfg.data_axis, cfg.points_axis) if a)
+    if cfg.bn_stats == "per_shard" and cfg.data_axis is not None:
+        return (tuple(a for a in (cfg.points_axis,) if a),
+                (cfg.data_axis,))
+    return axes, ()
 
 
 class MaxPoolBNLReLU(nn.Module):
@@ -317,6 +358,8 @@ class EdgeBlock(nn.Module):
                                         # shard-local vs all-gathered keys
                                         # (parallel.points.edge_diff_local)
     bn_axes: Sequence[str] = ()         # shard_map axes for BN statistics
+    bn_replica0_axes: Sequence[str] = ()  # shard_map axes with per-replica
+                                          # BN stats (see SPBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = True, idx=None, ee=None):
@@ -366,7 +409,9 @@ class EdgeBlock(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, self.negative_slope)
         bn = lambda name, v: SPBatchNorm(
             momentum=self.norm_momentum, groups=self.bn_groups,
-            axis_names=tuple(self.bn_axes), name=name)(v, train=train)
+            axis_names=tuple(self.bn_axes),
+            replica0_axes=tuple(self.bn_replica0_axes),
+            name=name)(v, train=train)
 
         # attention branch (conv_w)
         w = TorchDense(self.fout // 2, name="conv_w1")(diff)

@@ -248,8 +248,13 @@ def make_train_step_pointsharded(
     tiles, replicated prices), CutMix ranks on all-gathered anchor-distance
     scalars, and the GP's gradient norm psums its squares over `points`
     (see losses/gp.py, losses/cutmix.py).
-    Unsupported in this step (asserted off): per-shard BN stats, fused
-    pallas EdgeBlocks.
+    --bn_stats per_shard works sharded: BN moments pool over `points` only,
+    so each data replica normalizes by its own batch statistics (the
+    reference DataParallel semantics with n_data replicas) and running
+    averages broadcast from data-replica 0 (torch keeps the master
+    replica's buffers) — see nn.layers.bn_collective_axes; equivalence-
+    tested vs the grouped GSPMD math in tests/test_points_sharding.py.
+    Unsupported in this step (asserted off): fused pallas EdgeBlocks.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -259,7 +264,6 @@ def make_train_step_pointsharded(
     assert tuple(mesh.axis_names) == ("data", "points"), mesh.axis_names
     n_data, n_points_shards = mesh.devices.shape
     assert cfg.np % n_points_shards == 0
-    assert cfg.bn_groups == 1
     scfg = cfg.replace(data_axis="data", points_axis="points",
                        fused_train=False, fused_dphase=False)
     G, D = Generator(scfg), Discriminator(scfg)

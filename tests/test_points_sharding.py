@@ -195,6 +195,52 @@ class TestPointShardedTrainStep:
         state, m = step(state, real)
         assert np.isfinite(float(m["d_loss"]))
 
+    def test_per_shard_bn_matches_grouped(self, rng):
+        """cfg.bn_stats="per_shard" under the (2 data x 4 points) sharded
+        step: BN moments pool over `points` only, so each data replica
+        normalizes by its own stats and running averages track replica 0.
+        The oracle is the GSPMD grouped-BN math (mesh_shape=(2,) ->
+        bn_groups=2, the same contiguous batch halves) run unsharded —
+        losses, running stats and post-step params must all agree.
+
+        Tolerances are looser than the global-stats test above: component
+        isolation shows SPBatchNorm/EdgeBlock grouped-vs-collective agree to
+        <5e-7 on identical inputs, but per-replica normalization divides by
+        a variance over only bs/n_data samples, so the sharded edge ops'
+        ~1e-6 reduce-order noise is amplified ~e2-e3x through the
+        rsqrt chains (measured: 5e-4 G-forward drift at bs=4). A
+        bookkeeping error (wrong axis pooled, missing pmean) shifts losses
+        2-8x, far above the 2e-2 bar."""
+        from sp_gan_tpu.config import Config
+        base = dict(np=64, bs=8, nk=8, nz=16, dtype="float32",
+                    donate_state=False, use_pallas=False,
+                    bn_stats="per_shard")
+        mesh = make_mesh((2, 4), ("data", "points"))
+        real = jnp.array(rng.standard_normal((8, 64, 3)).astype(np.float32))
+        state_u, step_u = self._mk(Config(mesh_shape=(2,), **base), sgd=True)
+        state_s, step_s = self._mk(Config(**base), mesh, sgd=True)
+        state_u, m_u = step_u(state_u, real)
+        state_s, m_s = step_s(state_s, real)
+        for key in m_u:
+            np.testing.assert_allclose(float(m_u[key]), float(m_s[key]),
+                                       rtol=2e-2, atol=1e-5, err_msg=key)
+        for name, tree_u, tree_s in (
+                ("d_stats", state_u.d_stats, state_s.d_stats),
+                ("g_stats", state_u.g_stats, state_s.g_stats)):
+            for a, b in zip(jax.tree_util.tree_leaves(tree_u),
+                            jax.tree_util.tree_leaves(tree_s)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-3, atol=2e-5,
+                                           err_msg=name)
+        for name, tree_u, tree_s in (
+                ("g_params", state_u.g_params, state_s.g_params),
+                ("d_params", state_u.d_params, state_s.d_params)):
+            for a, b in zip(jax.tree_util.tree_leaves(tree_u),
+                            jax.tree_util.tree_leaves(tree_s)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-2, atol=1e-3,
+                                           err_msg=name)
+
     def test_mix_matches_unsharded(self, rng):
         """--mix (CutMix) under point sharding: global-shaped lam/anchor/flip
         draws sliced per shard, psum-fetched anchor point, rank on gathered
