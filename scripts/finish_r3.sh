@@ -51,8 +51,6 @@ run_stage runs/tail_lrboth 9300 --lr_g 1e-5 --lr_d 1e-5 || exit $?
 echo "[finish_r3] stage 3b: tail_lrd" >&2
 run_stage runs/tail_lrd 9300 --lr_d 1e-5 || exit $?
 
-echo "[finish_r3] stage 4: measurements" >&2
-timeout 3600 python scripts/round3_final_measurements.py \
-    > runs/round3_final_measurements.jsonl 2>/tmp/r3_meas.err
-timeout 1200 python bench.py > runs/bench_r3_final.json 2>/tmp/r3_bench.err
+echo "[finish_r3] stage 4: held-out eval + measurements" >&2
+bash scripts/final_eval_r3.sh
 echo "[finish_r3] done" >&2
