@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sp_gan_tpu.ops.pairwise import pairwise_sqdist
@@ -299,7 +299,7 @@ def pairwise_emd_matrix_pointsharded(gen: jax.Array, ref: jax.Array,
             local, mesh=mesh,
             in_specs=(P(None, axis, None), P(None, axis, None)),
             out_specs=P(None, None),
-            check_rep=False,
+            check_vma=False,
         )(g_block, ref)
 
     out = []

@@ -256,7 +256,7 @@ def make_train_step_pointsharded(
     tested vs the grouped GSPMD math in tests/test_points_sharding.py.
     Unsupported in this step (asserted off): fused pallas EdgeBlocks.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sp_gan_tpu.nn import Discriminator, Generator
@@ -354,7 +354,7 @@ def make_train_step_pointsharded(
                 d_stats_out = mut3["batch_stats"]
             return jax.lax.pmean(loss, axes), (d_stats_out, info)
 
-        # Under manual-mode shard_map (check_rep=False) psum transposes to
+        # Under manual-mode shard_map (check_vma=False) psum transposes to
         # psum, so the backward — seeded 1 on every shard — differentiates
         # the SUM of all shard losses: the psum'd parameter cotangents come
         # out exactly (n_data * n_points_shards) x the global-mean gradient.
@@ -409,7 +409,7 @@ def make_train_step_pointsharded(
         local_step, mesh=mesh,
         in_specs=(P(), P("data", "points", None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     donate = (0,) if cfg.donate_state else ()
     rep = NamedSharding(mesh, P())
@@ -427,7 +427,7 @@ def make_sample_fn_pointsharded(cfg: Config, sphere: jax.Array, mesh,
     global-max gather and instance-norm pmeans).
 
     Returns jitted `(state, z [B, N, nz]) -> [B, N, 3]`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sp_gan_tpu.nn import Generator
@@ -466,7 +466,7 @@ def make_sample_fn_pointsharded(cfg: Config, sphere: jax.Array, mesh,
         local_sample, mesh=mesh,
         in_specs=(P(), P("data", "points", None)),
         out_specs=P("data", "points", None),
-        check_rep=False,
+        check_vma=False,
     )
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("data", "points", None))

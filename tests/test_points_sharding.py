@@ -60,7 +60,7 @@ class TestPointShardedEmd:
     the grad-to-xyz1-only backward."""
 
     def test_matches_unsharded(self, mesh, x, rng):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from sp_gan_tpu.ops.emd import emd_auction
         from sp_gan_tpu.parallel.points import emd_auction_local
 
@@ -73,7 +73,7 @@ class TestPointShardedEmd:
             local, mesh=mesh,
             in_specs=(jax.sharding.PartitionSpec(None, "points", None),) * 2,
             out_specs=(jax.sharding.PartitionSpec(None, "points"),) * 2,
-            check_rep=False)(x, y)
+            check_vma=False)(x, y)
         dist_u, ass_u = emd_auction(x, y, 0.005, 5000, True)
         np.testing.assert_array_equal(np.asarray(ass_s), np.asarray(ass_u))
         np.testing.assert_allclose(np.asarray(dist_s), np.asarray(dist_u),
@@ -83,7 +83,7 @@ class TestPointShardedEmd:
             assert len(set(np.asarray(ass_s)[b])) == 64
 
     def test_grad_to_xyz1_only(self, mesh, x, rng):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from sp_gan_tpu.ops.emd import emd_auction
         from sp_gan_tpu.parallel.points import emd_auction_local
         P = jax.sharding.PartitionSpec
@@ -94,7 +94,7 @@ class TestPointShardedEmd:
             f = shard_map(
                 lambda a, b: emd_auction_local(a, b, 0.005, 5000)[0],
                 mesh=mesh, in_specs=(P(None, "points", None),) * 2,
-                out_specs=P(None, "points"), check_rep=False)
+                out_specs=P(None, "points"), check_vma=False)
             return f(xx, yy).sum()
 
         def loss_u(xx, yy):
@@ -402,7 +402,7 @@ class TestShardedWganGp:
 
     @pytest.mark.parametrize("mapping", [False, True])
     def test_matches_dense(self, rng, mapping):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from sp_gan_tpu.losses.gp import wgan_gp
 
@@ -438,7 +438,7 @@ class TestShardedWganGp:
 
         gp_s = shard_map(local, mesh=mesh,
                          in_specs=(P("data", "points", None),) * 2,
-                         out_specs=P(), check_rep=False)(real, fake)
+                         out_specs=P(), check_vma=False)(real, fake)
         np.testing.assert_allclose(float(gp_u), float(gp_s), rtol=1e-6)
 
 
@@ -447,7 +447,7 @@ class TestCombinedMesh:
         """2D mesh: batch sharded over `data`, points over `points` — the
         full large-scale layout (dp x sp analog)."""
         import numpy as np
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from sp_gan_tpu.parallel import make_mesh
         from sp_gan_tpu.ops.pairwise import pairwise_sqdist
