@@ -44,8 +44,10 @@ mkdir -p runs/final_eval_r3
 for ck in $CKPTS; do
     tag=$(basename "$(dirname "$ck")")_$(basename "$ck" .pkl)
     echo "[final_eval] $ck -> $tag" >&2
+    # n=96: the audited metric-protocol regime of BASELINE.md (96x96
+    # matrices) — keeps the 3-matrix EMD under ~15 min/checkpoint
     timeout 5400 python evaluate.py --log_dir runs/campaign_r3 \
-        --ckpt "$ck" --ema --n 200 --ref runs/heldout_ref.npy \
+        --ckpt "$ck" --ema --n 96 --ref runs/heldout_ref.npy \
         --normalize --emd > "runs/final_eval_r3/$tag.json" \
         || echo "[final_eval] FAILED $ck" >&2
 done
