@@ -388,6 +388,23 @@ class TestPointShardedTrainStep:
         pcs = tr.generate(2)
         assert pcs.shape == (2, 32, 3) and np.all(np.isfinite(pcs))
 
+    def test_trainer_on_2d_mesh_per_shard_bn(self, tmp_path):
+        """Same CLI path with --bn_stats per_shard (the reference
+        DataParallel BN semantics) — previously asserted off in the
+        point-sharded step."""
+        from sp_gan_tpu.config import Config
+        from sp_gan_tpu.data import SyntheticDataset
+        from sp_gan_tpu.train import Trainer
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     mesh_shape=(2, 4), mesh_axes=("data", "points"),
+                     bn_stats="per_shard", use_pallas=False)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        state = tr.train()
+        assert int(state.step) == 2
+        pcs = tr.generate(2)
+        assert pcs.shape == (2, 32, 3) and np.all(np.isfinite(pcs))
+
 
 class TestShardedWganGp:
     """wgan_gp with points_axis/data_axis vs the dense call — exact (1e-6)
