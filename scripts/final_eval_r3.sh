@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 #    training set (campaign trains on SyntheticDataset seed=0; eval.jsonl's
 #    in-loop reference is a training-data draw — this is the final
 #    gen-vs-test protocol instead)
-python - <<'PY'
+python - <<'PY' || { echo "[final_eval] FATAL: held-out ref generation failed" >&2; exit 1; }
 import numpy as np, sys
 sys.path.insert(0, ".")
 from sp_gan_tpu.data.h5 import SyntheticDataset
@@ -25,9 +25,12 @@ import json, os
 best, best_v = None, 1e9
 with open("runs/campaign_r3/eval.jsonl") as f:
     for line in f:
-        r = json.loads(line)
+        try:
+            r = json.loads(line)
+        except ValueError:
+            continue  # partially-written trailing line from a watchdog kill
         v = r.get("ema", {}).get("MMD-CD")
-        ep = r["epoch"]
+        ep = r.get("epoch")
         ck = f"runs/campaign_r3/ckpt_epoch_{ep}.pkl"
         if v is not None and v < best_v and os.path.exists(ck):
             best, best_v = ck, v
@@ -38,7 +41,11 @@ out = [p for p in (best,
        if p and os.path.exists(p)]
 print("\n".join(dict.fromkeys(out)))
 PY
-)
+) || { echo "[final_eval] FATAL: checkpoint selection failed" >&2; exit 1; }
+if [ -z "$CKPTS" ]; then
+    echo "[final_eval] FATAL: no checkpoints found to evaluate" >&2
+    exit 1
+fi
 
 mkdir -p runs/final_eval_r3
 for ck in $CKPTS; do
