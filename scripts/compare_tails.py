@@ -15,7 +15,10 @@ def load(run_dir):
     recs = {}
     with open(os.path.join(run_dir, "eval.jsonl")) as f:
         for line in f:
-            r = json.loads(line)
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue  # truncated trailing line from a watchdog kill
             recs[r["step"]] = r     # restarts overwrite duplicate steps
     return recs
 

@@ -21,7 +21,10 @@ def main():
     recs = {}
     with open(args.path) as f:
         for line in f:
-            r = json.loads(line)
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue  # truncated trailing line from a watchdog kill
             recs[r["epoch"]] = r     # restarts overwrite duplicate epochs
     epochs = sorted(recs)
     picked = epochs[:: args.every]

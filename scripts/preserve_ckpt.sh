@@ -1,0 +1,48 @@
+#!/bin/bash
+# Checkpoint preservation loop. runs/**/*.pkl is gitignored (checkpoints are
+# large), which made the r3 832k-step campaign unrecoverable when the
+# workspace rotated: the eval curve was committed but every weight pickle was
+# lost (see ROADMAP.md round-3 endgame note). This loop bounds that loss to
+# one snapshot interval: every CYCLE seconds it copies the newest checkpoint
+# of each active run into runs/keep/<run>_latest.pkl (tracked, force-added)
+# and commits if the epoch advanced. Git history survives rotations; 21 MB
+# per commit is the price of not losing hours of TPU time again.
+#
+#   nohup bash scripts/preserve_ckpt.sh > /tmp/preserve.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+CYCLE=${CYCLE:-1200}
+mkdir -p runs/keep
+
+newest() { ls -t "$1"/ckpt_epoch_*.pkl 2>/dev/null | head -1; }
+
+while :; do
+    changed=0
+    for dir in runs/campaign_r3b runs/tail_lrboth runs/tail_lrd; do
+        src=$(newest "$dir") || true
+        [ -n "${src:-}" ] || continue
+        name=$(basename "$dir")
+        dst="runs/keep/${name}_latest.pkl"
+        marker="runs/keep/${name}_latest.src"
+        if [ ! -f "$marker" ] || [ "$(cat "$marker")" != "$src" ]; then
+            # copy then rename: never commit a half-written pickle; the
+            # trainer itself writes atomically so $src is always complete
+            cp "$src" "$dst.tmp" && mv "$dst.tmp" "$dst"
+            echo "$src" > "$marker"
+            changed=1
+        fi
+    done
+    if [ "$changed" = 1 ]; then
+        # retry once on index-lock contention with interactive commits
+        for _ in 1 2; do
+            if git add -f runs/keep/ &&
+               git commit -m "preserve: latest campaign checkpoints ($(cat runs/keep/*.src 2>/dev/null | xargs -n1 basename 2>/dev/null | tr '\n' ' '))" \
+                   -- runs/keep/ >/dev/null 2>&1; then
+                echo "[preserve] committed $(date -u +%H:%M:%S)"
+                break
+            fi
+            sleep 15
+        done
+    fi
+    sleep "$CYCLE"
+done
