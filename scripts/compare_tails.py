@@ -9,16 +9,22 @@ analysis tool for the LR-intervention tail sweep (scripts/tail_sweep.sh).
 import argparse
 import json
 import os
+import sys
 
 
 def load(run_dir):
     recs = {}
-    with open(os.path.join(run_dir, "eval.jsonl")) as f:
-        for line in f:
+    path = os.path.join(run_dir, "eval.jsonl")
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
             try:
                 r = json.loads(line)
             except ValueError:
-                continue  # truncated trailing line from a watchdog kill
+                # expected only for a truncated trailing line from a
+                # watchdog kill; warn so mid-file corruption is visible
+                print(f"[compare_tails] skipping malformed line {lineno} "
+                      f"of {path}", file=sys.stderr)
+                continue
             recs[r["step"]] = r     # restarts overwrite duplicate steps
     return recs
 

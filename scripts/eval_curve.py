@@ -20,11 +20,16 @@ def main():
 
     recs = {}
     with open(args.path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             try:
                 r = json.loads(line)
             except ValueError:
-                continue  # truncated trailing line from a watchdog kill
+                # expected only for a truncated trailing line from a
+                # watchdog kill; warn so mid-file corruption is visible
+                import sys
+                print(f"[eval_curve] skipping malformed line {lineno} of "
+                      f"{args.path}", file=sys.stderr)
+                continue
             recs[r["epoch"]] = r     # restarts overwrite duplicate epochs
     epochs = sorted(recs)
     picked = epochs[:: args.every]

@@ -26,12 +26,23 @@ while :; do
         marker="runs/keep/${name}_latest.src"
         if [ ! -f "$marker" ] || [ "$(cat "$marker")" != "$src" ]; then
             # copy then rename: never commit a half-written pickle; the
-            # trainer itself writes atomically so $src is always complete
-            cp "$src" "$dst.tmp" && mv "$dst.tmp" "$dst"
-            echo "$src" > "$marker"
-            changed=1
+            # trainer itself writes atomically so $src is always complete.
+            # Only advance the marker on copy success — otherwise a failed
+            # copy (disk full, transient I/O) would record the new path
+            # against the stale pickle and never be retried.
+            if cp "$src" "$dst.tmp" && mv "$dst.tmp" "$dst"; then
+                echo "$src" > "$marker"
+                changed=1
+            else
+                echo "[preserve] copy failed for $src, will retry" >&2
+            fi
         fi
     done
+    # re-arm the commit retry if a previous cycle's snapshot is still
+    # uncommitted (e.g. both git attempts lost to index-lock contention)
+    if [ "$changed" = 0 ] && [ -n "$(git status --porcelain runs/keep/ 2>/dev/null)" ]; then
+        changed=1
+    fi
     if [ "$changed" = 1 ]; then
         # retry once on index-lock contention with interactive commits
         for _ in 1 2; do

@@ -58,6 +58,19 @@ class Trainer:
             "a" if cfg.restore else "w")
         with open(os.path.join(cfg.log_dir, "args.txt"), "w") as f:
             f.write(cfg.to_json())
+        # source snapshot for experiment provenance (reference backs up its
+        # source files into each log dir, model.py:59-68). First writer
+        # wins: a restore must not overwrite the snapshot of the code the
+        # run was actually started with.
+        snap = os.path.join(cfg.log_dir, "src_snapshot")
+        if not os.path.isdir(snap):
+            import shutil
+            pkg_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            shutil.copytree(
+                pkg_root, os.path.join(snap, "sp_gan_tpu"),
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc",
+                                              "*.so", "native_build"))
 
         # data
         if dataset is not None:
