@@ -25,9 +25,41 @@ def enable_compile_cache(path: str | None = None) -> None:
             pass  # backend already up; leave the default platform
 
     path = path or os.environ.get("SPGAN_JAX_CACHE", "/root/repo/.jax_cache")
+    # The XLA:CPU backend AOT-compiles for the exact host ISA (e.g.
+    # +prefer-no-gather) but the persistent-cache key does NOT include the
+    # CPU features — an entry written on one host can fail to LOAD on
+    # another (cpu_aot_loader errors), turning every hit into a failure and
+    # blowing any cold-compile budget (round-3 MULTICHIP rc=124 root cause).
+    # Partition the cache dir by a fingerprint of the host CPU flags so a
+    # rotated host starts a fresh (loadable) cache instead of fighting a
+    # poisoned one. TPU executables are compiled for the device, not the
+    # host, so the shared dir stays correct there.
+    try:
+        if jax.default_backend() == "cpu":
+            path = os.path.join(path, f"cpu-{_host_cpu_fingerprint()}")
+    except Exception:
+        pass
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # older jax without these flags
+
+
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
