@@ -109,6 +109,9 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs, 3),
+        "baseline_note": "vs this repo's own r1 XLA build on 1 TPU chip "
+                         "(bench_baseline.json); the reference publishes "
+                         "no benchmark numbers",
         "points_per_sec": round(points_per_sec),
         "cd_evals_per_sec_96x96": round(cd_evals_per_sec, 1),
         "emd_evals_per_sec_b16": round(emd_evals_per_sec, 1),

@@ -35,6 +35,12 @@ def main():
     p.add_argument("--fpd", action="store_true", help="include FPD (random-"
                    "feature unless --fpd_stats trained stats are given)")
     p.add_argument("--fpd_stats", default=None)
+    p.add_argument("--jsd_scale", type=float, default=0.5,
+                   help="scale clouds by this before the JSD voxel "
+                        "histogram (the histogram covers [-0.5,0.5]; 0.5 "
+                        "keeps normalized clouds in-cube and matches the "
+                        "in-loop eval.jsonl convention; 1.0 reproduces the "
+                        "reference's raw out-of-cube behavior)")
     p.add_argument("--mesh_points", type=int, default=0,
                    help="shard each EMD solve's quadratic distance tile "
                         "over this many devices (points mesh) — lifts the "
@@ -79,7 +85,7 @@ def main():
     n = min(len(gen), len(ref))
     metrics = compute_all_metrics(gen[:n], ref[:n], normalize=args.normalize,
                                   use_emd=args.emd, emd_iters=args.emd_iters,
-                                  mesh=mesh)
+                                  mesh=mesh, jsd_scale=args.jsd_scale)
     if args.fpd:
         fpd = (FPD.from_torch(args.fpd_weights) if args.fpd_weights
                else FPD())

@@ -145,6 +145,7 @@ def compute_all_metrics(
     emd_eps: float = 0.002,
     emd_iters: int = 10000,
     mesh=None,
+    jsd_scale: float = 0.5,
 ) -> Dict[str, float]:
     """The reference evaluation protocol (`compute_all_metrics2`,
     loss_utils.py:430-463): JSD + COV-CD + MMD-CD + 1NN-CD; optional EMD
@@ -171,8 +172,18 @@ def compute_all_metrics(
     tt = np.asarray(pairwise_cd_matrix(ref, ref))
     gt = np.asarray(pairwise_cd_matrix(gen, ref))
 
+    # JSD convention: the voxel histogram only covers the [-0.5, 0.5] cube
+    # and the reference protocol silently DROPS out-of-cube points
+    # (loss_utils.py:474-477) — radius-1-normalized clouds lose most of
+    # their mass. jsd_scale=0.5 (default) shrinks clouds into the cube
+    # first, matching the in-loop Trainer.evaluate convention so eval.jsonl
+    # and this protocol produce comparable JSD columns; jsd_scale=1.0
+    # reproduces the reference's raw (footgun) behavior. The scale used is
+    # recorded in the output.
     out = {
-        "JSD": jsd(np.asarray(gen), np.asarray(ref)),
+        "JSD": jsd(jsd_scale * np.asarray(gen), jsd_scale * np.asarray(ref),
+                   warn=(jsd_scale == 1.0)),
+        "jsd_scale": jsd_scale,
         "COV-CD": coverage(gt),
         "MMD-CD": mmd(gt),
         "1NN-CD": knn_two_sample(gg, gt, tt, 1),

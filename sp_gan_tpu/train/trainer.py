@@ -226,7 +226,11 @@ class Trainer:
             self._eval_tt_emd = None
         ref = self._eval_ref
 
-        record = {"epoch": epoch, "step": global_step}
+        # jsd_scale: same in-cube convention as eval/metrics.py's
+        # compute_all_metrics default — the two JSD columns this repo
+        # emits (in-loop eval.jsonl, final-protocol evaluate.py) are
+        # comparable by construction (tests/test_eval_metrics.py).
+        record = {"epoch": epoch, "step": global_step, "jsd_scale": 0.5}
         variants = [("ema", self.sample_fn), ("raw", self.sample_raw)] \
             if cfg.ema else [("raw", self.sample_fn)]
         for name, fn in variants:

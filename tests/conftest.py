@@ -21,8 +21,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
-# persistent compile cache: repeated test runs hit the disk cache
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# persistent compile cache: repeated test runs hit the disk cache. The
+# XLA:CPU AOT entries are host-ISA-specific, so the dir is partitioned by
+# a CPU-feature fingerprint (utils/cache.py) — entries written on a
+# previous host would otherwise all fail to load and force cold compiles.
+from sp_gan_tpu.utils.cache import _host_cpu_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/root/repo/.jax_cache/cpu-{_host_cpu_fingerprint()}",
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

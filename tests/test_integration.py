@@ -51,7 +51,7 @@ class TestTrainingRun:
         gen = np.asarray(sample(state, z))
         assert np.all(np.isfinite(gen))
         m = compute_all_metrics(gen, ds.data[:8])
-        assert set(m) == {"JSD", "COV-CD", "MMD-CD", "1NN-CD"}
+        assert set(m) == {"JSD", "jsd_scale", "COV-CD", "MMD-CD", "1NN-CD"}
         assert m["MMD-CD"] > 0
 
     def test_manipulation_from_trained_state(self, trained):
