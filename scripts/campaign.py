@@ -40,10 +40,17 @@ def main():
         # snapshot; well above cold-compile (~3 min) and eval cost
         cfg = cfg.replace(watchdog_secs=600)
 
-    from sp_gan_tpu.data import SyntheticDataset
+    from sp_gan_tpu.data import SyntheticDataset, SyntheticMultiClassDataset
     from sp_gan_tpu.train import Trainer
 
-    dataset = SyntheticDataset(n_items=2400, n_points=cfg.np)
+    # --con: the multi-class campaign analog of the reference's
+    # chair/table/bench concatenation (H5DataLoader.py:47-60) — trains
+    # unconditionally on the class mix, exactly like the reference.
+    if cfg.con:
+        dataset = SyntheticMultiClassDataset(
+            n_items=2400, n_points=cfg.np, n_classes=cfg.cls)
+    else:
+        dataset = SyntheticDataset(n_items=2400, n_points=cfg.np)
     tr = Trainer(cfg, dataset=dataset)
     tr.log(f"[campaign] starting at epoch {tr.start_epoch}, "
            f"{cfg.steps_per_epoch} steps/epoch, target {cfg.max_epoch} epochs"

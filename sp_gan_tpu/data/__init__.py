@@ -16,7 +16,8 @@ from sp_gan_tpu.data.augment import (
     shuffle_points_batch,
     translate_batch,
 )
-from sp_gan_tpu.data.h5 import H5Dataset, SyntheticDataset, load_h5
+from sp_gan_tpu.data.h5 import (H5Dataset, SyntheticDataset,
+                                SyntheticMultiClassDataset, load_h5)
 from sp_gan_tpu.data.noise import masked_z, sample_z
 from sp_gan_tpu.data.prefetch import prefetch_to_device
 from sp_gan_tpu.data.sphere import (
@@ -29,6 +30,7 @@ from sp_gan_tpu.data.sphere import (
 __all__ = [
     "H5Dataset",
     "SyntheticDataset",
+    "SyntheticMultiClassDataset",
     "load_h5",
     "augment_batch",
     "jitter_batch",

@@ -118,3 +118,56 @@ class SyntheticDataset(_Dataset):
             radial = 1.0 + amp * np.sin(freq * azim + phase)
             items.append(base * axes[None, :] * radial[:, None])
         self.data = _normalize_np(np.stack(items).astype(np.float32))
+
+
+class SyntheticMultiClassDataset(_Dataset):
+    """Multi-class synthetic family: the `--con` analog of SyntheticDataset
+    when no ShapeNet H5 is present. Three geometrically distinct classes
+    (the reference's --con concatenates chair/table/bench and trains
+    unconditionally on the mix, H5DataLoader.py:47-60 — labels are produced
+    but never consumed by its training loop, model.py:244-246):
+
+      0: modulated ellipsoids  (the SyntheticDataset family)
+      1: tori                  (distinct topology: genus 1)
+      2: superellipsoid boxes  (flat faces / rounded edges)
+
+    `.labels` carries the class ids for per-class evaluation."""
+
+    def __init__(self, n_items: int = 24, n_points: int = 2048,
+                 seed: int = 0, n_classes: int = 3):
+        from sp_gan_tpu.data.sphere import fibonacci_sphere
+        assert 1 <= n_classes <= 3
+        rng = np.random.default_rng(seed)
+        base = fibonacci_sphere(n_points)                    # [N, 3]
+        azim = np.arctan2(base[:, 2], base[:, 0])            # [N]
+        golden = (1.0 + np.sqrt(5.0)) / 2.0
+        i = np.arange(n_points)
+        # low-discrepancy torus parameterization (deterministic, like the
+        # fibonacci sphere): minor angle dense, major angle golden-stepped
+        t_theta = 2.0 * np.pi * ((i * golden) % 1.0)         # minor
+        t_phi = 2.0 * np.pi * i / n_points                   # major
+
+        items, labels = [], []
+        for j in range(n_items):
+            c = j % n_classes
+            axes = rng.uniform(0.45, 1.0, size=(3,))
+            if c == 0:
+                freq = rng.integers(1, 4)
+                phase = rng.uniform(0.0, 2.0 * np.pi)
+                amp = rng.uniform(0.05, 0.2)
+                radial = 1.0 + amp * np.sin(freq * azim + phase)
+                pc = base * axes[None, :] * radial[:, None]
+            elif c == 1:
+                ratio = rng.uniform(0.25, 0.45)              # r/R
+                R, r = 1.0, float(ratio)
+                ring = R + r * np.cos(t_theta)
+                pc = np.stack([ring * np.cos(t_phi),
+                               r * np.sin(t_theta),
+                               ring * np.sin(t_phi)], axis=1) * axes[None, :]
+            else:
+                e = rng.uniform(0.25, 0.5)                   # boxiness
+                pc = np.sign(base) * np.abs(base) ** e * axes[None, :]
+            items.append(pc)
+            labels.append(c)
+        self.data = _normalize_np(np.stack(items).astype(np.float32))
+        self.labels = np.asarray(labels, np.int32)

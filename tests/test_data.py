@@ -61,6 +61,27 @@ class TestDatasets:
         r = np.linalg.norm(ds.data, axis=-1).max(axis=1)
         np.testing.assert_allclose(r, 1.0, atol=1e-4)
 
+    def test_synthetic_multiclass(self):
+        from sp_gan_tpu.data import SyntheticMultiClassDataset
+
+        ds = SyntheticMultiClassDataset(n_items=12, n_points=256, seed=0)
+        assert ds.data.shape == (12, 256, 3)
+        assert list(ds.labels) == [0, 1, 2] * 4
+        r = np.linalg.norm(ds.data, axis=-1).max(axis=1)
+        np.testing.assert_allclose(r, 1.0, atol=1e-4)
+        # classes are geometrically distinguishable: mean chamfer within a
+        # class is well below the cross-class distance (tori have a hole,
+        # boxes have flat faces)
+        d2 = ((ds.data[:, None, :, None, :]
+               - ds.data[None, :, None, :, :]) ** 2).sum(-1)
+        cd = d2.min(2).mean(-1) + d2.min(3).mean(-1)      # [12, 12]
+        same = np.equal.outer(ds.labels, ds.labels)
+        off = ~np.eye(12, dtype=bool)
+        assert cd[same & off].mean() < 0.5 * cd[~same].mean()
+        # deterministic in seed
+        ds2 = SyntheticMultiClassDataset(n_items=12, n_points=256, seed=0)
+        np.testing.assert_array_equal(ds.data, ds2.data)
+
     def test_epoch_batches(self):
         ds = SyntheticDataset(n_items=10, n_points=32)
         rng = np.random.default_rng(0)
