@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-4 TPU queue (after the r3 held-out eval + retry complete):
+#   1. multi-class campaign (--con --cls 3, 1500 epochs = 150k steps) —
+#      the configs[2] analog at campaign scale (VERDICT r3 next-round #6)
+#   2. per-class + pooled held-out eval of its final checkpoint
+#   3. bf16-trunk A/B probe (VERDICT r3 next-round #7): steps/s + 5000-step
+#      quality probe for mixed_edge (default) vs bfloat16_g vs
+#      bfloat16_tail32
+# Each stage skips instantly if its output already exists; campaign stages
+# retry on rc=42 (wedged device dispatch watchdog).
+set -u
+cd "$(dirname "$0")/.."
+
+run_campaign() {
+    local dir=$1 epochs=$2; shift 2
+    while :; do
+        python scripts/campaign.py --log_dir "$dir" --restore \
+            --max_epoch "$epochs" "$@"
+        rc=$?
+        if [ "$rc" -ne 42 ]; then return "$rc"; fi
+        echo "[finish_r4] watchdog restart (rc=42) in $dir" >&2
+        sleep 30
+    done
+}
+
+echo "[finish_r4] stage 0: large-N auction sweep" >&2
+if [ ! -s runs/sweep_auction_largen.jsonl ]; then
+    timeout 3600 python scripts/sweep_auction_largen.py \
+        > runs/sweep_auction_largen.jsonl 2>/tmp/sweep_auction.err \
+        || echo "[finish_r4] stage 0 FAILED" >&2
+fi
+
+echo "[finish_r4] stage 1: multi-class campaign -> 1500 epochs" >&2
+if [ -f runs/campaign_mc/ckpt_epoch_1500.pkl ]; then
+    echo "[finish_r4] stage 1 already complete" >&2
+else
+    run_campaign runs/campaign_mc 1500 --con --cls 3 || exit $?
+fi
+
+echo "[finish_r4] stage 2: per-class held-out eval" >&2
+if [ ! -s runs/campaign_mc/final_multiclass.json ]; then
+    timeout 3600 python scripts/eval_multiclass.py \
+        --log_dir runs/campaign_mc \
+        --ckpt runs/campaign_mc/ckpt_epoch_1500.pkl --n 96 \
+        > runs/campaign_mc/final_multiclass.json \
+        || echo "[finish_r4] stage 2 FAILED" >&2
+fi
+
+echo "[finish_r4] stage 3: bf16 trunk A/B probe" >&2
+if [ ! -s runs/probe_bf16_r4.jsonl ]; then
+    timeout 7200 python scripts/probe_quality.py --steps 5000 \
+        --variants mixed_edge,bfloat16_g,bfloat16_tail32 \
+        > runs/probe_bf16_r4.jsonl 2>/tmp/probe_bf16.err \
+        || echo "[finish_r4] stage 3 FAILED" >&2
+fi
+echo "[finish_r4] done" >&2

@@ -171,7 +171,20 @@ def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
     B, N, M = d.shape
     if scaled:
         from sp_gan_tpu.ops.dispatch import pallas_enabled
-        if pallas_enabled() and N * M * 4 <= (64 << 20):
+        if pallas_enabled() and (64 << 20) < N * M * 4 <= (1 << 30):
+            # Matrix too big for VMEM (N=8192 -> 256 MB) but solver state
+            # [price/owner, O(M)] still fits: HBM-resident block
+            # Gauss-Seidel (mode="blockgs_hbm") DMAs one [w, M] row-block
+            # per round, so the active-set tail pays w/N of the matrix in
+            # DMA instead of re-streaming all of it like the XLA path.
+            from sp_gan_tpu.ops.pallas.auction import (
+                auction_assignment_pallas)
+            phases = 1 if iters <= 500 else 4
+            assignment = auction_assignment_pallas(d, eps, iters,
+                                                   phases=phases,
+                                                   mode="blockgs_hbm",
+                                                   block_w=64)
+        elif pallas_enabled() and N * M * 4 <= (64 << 20):
             # VMEM-resident solver: whole [N, M] distance block + prices +
             # owners stay on-core. r3 default is the block Gauss-Seidel
             # active-set kernel (mode="blockgs", ops/pallas/auction.py):

@@ -237,6 +237,111 @@ def _auction_kernel_blockgs(d_ref, asg_ref, price_ref, owner_ref, cnt_ref,
     asg_ref[0, 0] = jnp.where(item_of < 0, best_idx, item_of)
 
 
+def _auction_kernel_blockgs_hbm(d_ref, price_out, owner_out, cnt_ref,
+                                it_ref, dblk_ref, sem, *, n: int,
+                                m: int, eps: float, iters: int, phases: int,
+                                theta: float, w: int):
+    """Block Gauss-Seidel auction with the [N, M] cost matrix in HBM.
+
+    Same algorithm as `_auction_kernel_blockgs`, for N where the full
+    matrix no longer fits VMEM (N=8192 -> 256 MB). Only solver state
+    (price/owner/counts, O(M)) is VMEM-resident; each round DMAs the
+    active block's [w, M] rows from HBM into `dblk_ref` before bidding.
+    The active-set skipping is what makes this viable at HBM distance:
+    a round moves w*M*4 bytes (2 MB at w=64, M=8192) only for blocks
+    that still have unassigned points — the long convergence tail costs
+    DMA for a handful of blocks per sweep instead of re-streaming the
+    256 MB matrix like the XLA path does every round.
+
+    Emits final prices and owners as kernel OUTPUTS (full-width static
+    stores); the forced final assignment runs in a second, trivially
+    blocked kernel (`_forced_assign_kernel`) whose [w, M] d-blocks the
+    pallas pipeline streams with static offsets — Mosaic rejects
+    dynamic lane-offset vector stores, so the assignment cannot be
+    written blockwise from inside this kernel."""
+    b = pl.program_id(0)
+    nb = n // w
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (w, m), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+    arange_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)[0]
+    price_ref = price_out.at[0, 0]
+    owner_ref = owner_out.at[0, 0]
+    price_ref[:] = jnp.zeros((m,), jnp.float32)
+    it_ref[0] = 0          # total block-rounds (budget)
+    it_ref[1] = 0          # round-robin cursor
+
+    def fetch_block(j):
+        dma = pltpu.make_async_copy(
+            d_ref.at[b, pl.ds(j * w, w), :], dblk_ref, sem)
+        dma.start()
+        dma.wait()
+
+    def one_round(eps_p):
+        price = price_ref[:]                                 # [M]
+        owner = owner_ref[:]                                 # [M] int32
+        cnt = cnt_ref[:]                                     # [NB] int32
+
+        start = it_ref[1]
+        rel = jnp.mod(arange_nb - start, nb)
+        j = jnp.min(jnp.where(cnt > 0, rel, nb)).astype(jnp.int32)
+        j = jnp.mod(start + j, nb)
+        it_ref[1] = jnp.mod(j + 1, nb)
+
+        rows0 = j * w
+        fetch_block(j)
+        db = dblk_ref[:]                                     # [w, M]
+        grow = rows0 + row_w
+        unassigned = jnp.max(
+            jnp.where(owner[None, :] == grow, 1, 0), axis=1) == 0
+
+        value = -db - price[None, :]
+        best_val = jnp.max(value, axis=1)
+        best_idx = jnp.argmax(value, axis=1).astype(jnp.int32)
+        is_best = col_m == best_idx[:, None]
+        second_val = jnp.max(jnp.where(is_best, _NEG, value), axis=1)
+        bid_inc = best_val - second_val + eps_p
+
+        bids_on = unassigned[:, None] & is_best
+        bid_mat = jnp.where(bids_on, bid_inc[:, None], _NEG)
+        max_bid = jnp.max(bid_mat, axis=0)
+        winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+        has_bid = max_bid > _NEG * 0.5
+
+        prev_owner = owner
+        evicted = jnp.where(has_bid & (prev_owner >= 0), prev_owner, -1)
+        n_accepted = jnp.sum(jnp.where(has_bid, 1, 0))
+        ev_blk = jnp.where(evicted >= 0, evicted // w, nb)
+        hist = jnp.sum(
+            jnp.where(ev_blk[None, :]
+                      == jax.lax.broadcasted_iota(jnp.int32, (nb, m), 0),
+                      1, 0), axis=1)
+        n_evicted = jnp.sum(hist)
+        onehot_j = jnp.where(arange_nb == j, 1, 0)
+        cnt_ref[:] = cnt - onehot_j * n_accepted + hist
+
+        owner_ref[:] = jnp.where(has_bid, rows0 + winner, owner)
+        price_ref[:] = price + jnp.where(has_bid, max_bid, 0.0)
+        it_ref[0] = it_ref[0] + 1
+        return n_evicted - n_accepted
+
+    cap = iters * nb
+    for p in range(phases):
+        eps_p = eps * (theta ** (phases - 1 - p))
+        owner_ref[:] = jnp.full((m,), -1, jnp.int32)
+        cnt_ref[:] = jnp.full((nb,), w, jnp.int32)
+
+        def cond(carry, _cap=cap):
+            tot, it = carry
+            return (tot > 0) & (it < _cap)
+
+        def body(carry, eps_p=eps_p):
+            tot, it = carry
+            delta = one_round(eps_p)
+            return tot + delta, it + 1
+
+        lax.while_loop(cond, body, (jnp.int32(n), it_ref[0]))
+
+
 def _auction_kernel(d_ref, asg_ref, price_ref, owner_ref, flag_ref, it_ref, *,
                     n: int, m: int, eps: float, iters: int, phases: int,
                     theta: float):
@@ -332,6 +437,53 @@ def auction_assignment_pallas(d: jax.Array, eps: float = 0.002,
     Phase/theta sweep at the metric regime: (4, 8) best of
     {(4,8),(6,4),(8,3),(5,6),(10,2)}."""
     B, N, M = d.shape
+    if mode == "blockgs_hbm":
+        while N % block_w:
+            block_w //= 2
+        w = block_w
+        d = d.astype(jnp.float32)
+        solver = functools.partial(_auction_kernel_blockgs_hbm, n=N, m=M,
+                                   eps=eps, iters=iters, phases=phases,
+                                   theta=theta, w=w)
+        price, owner = pl.pallas_call(
+            solver,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((B, 1, M), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, M), jnp.int32)],
+            scratch_shapes=[
+                pltpu.VMEM((N // w,), jnp.int32),    # per-block unassigned
+                pltpu.SMEM((2,), jnp.int32),         # round counter + cursor
+                pltpu.VMEM((w, M), jnp.float32),     # active block rows
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=B * N * M * 20 * min(iters, 4000), transcendentals=0,
+                bytes_accessed=B * N * M * 4 + B * N * 4),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(d)
+        price, owner = price[:, 0], owner[:, 0]              # [B, M]
+        # Forced final assignment in XLA (one fused HBM pass over d —
+        # negligible next to the solve): owned rows read the owner
+        # inverse via a drop-mode scatter, unowned rows take their
+        # price-adjusted argmin — same contract as the VMEM kernels.
+        b_idx = jnp.arange(B)[:, None]
+        # unowned items carry owner == -1, which would WRAP to N-1 as a
+        # scatter index — remap to N so mode="drop" actually drops them
+        safe_owner = jnp.where(owner >= 0, owner, N)
+        item_of = jnp.full((B, N), -1, jnp.int32).at[
+            b_idx, safe_owner].set(jnp.broadcast_to(
+                jnp.arange(M, dtype=jnp.int32)[None, :], (B, M)),
+            mode="drop")
+        best_idx = jnp.argmin(d + price[:, None, :], axis=-1)
+        return jnp.where(item_of < 0, best_idx.astype(jnp.int32), item_of)
     if mode == "blockgs":
         while N % block_w:
             block_w //= 2

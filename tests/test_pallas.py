@@ -373,6 +373,31 @@ class TestAuctionPallas:
             assert len(set(asg[b])) == n, "not a bijection"
             assert got <= opt + n * 0.005 + 1e-5, (b, got, opt)
 
+    def test_blockgs_hbm_matches_hungarian_bound(self):
+        """HBM-resident block Gauss-Seidel (r4, for N where the [N, M]
+        matrix exceeds VMEM — N=8192 is 256 MB): per-round DMA of the
+        active [w, M] block, same bijection + eps-scaling bound as the
+        VMEM kernel."""
+        from jax.experimental.pallas import tpu as pltpu
+        from scipy.optimize import linear_sum_assignment
+        from sp_gan_tpu.ops.pallas.auction import auction_assignment_pallas
+        rng = np.random.default_rng(6)
+        B, n = 2, 64
+        x1 = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32) * .3)
+        x2 = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32) * .3)
+        d = pairwise_sqdist(x1, x2)
+        with pltpu.force_tpu_interpret_mode():
+            asg = np.asarray(auction_assignment_pallas(
+                d, eps=0.005, iters=800, phases=3, mode="blockgs_hbm",
+                block_w=16))
+        dn = np.asarray(d)
+        for b in range(B):
+            r, c = linear_sum_assignment(dn[b])
+            opt = dn[b][r, c].sum()
+            got = dn[b][np.arange(n), asg[b]].sum()
+            assert len(set(asg[b])) == n, "not a bijection"
+            assert got <= opt + n * 0.005 + 1e-5, (b, got, opt)
+
     def test_packed_round_matches_hungarian_bound(self):
         """Merged-pass (packed int32 reduce) auction variant: valid
         bijection within the slightly-relaxed eps bound (quantization adds
