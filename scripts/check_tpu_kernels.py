@@ -125,9 +125,10 @@ def main():
     a1 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
     a2 = jnp.asarray(rngh.standard_normal((2, na, 3)).astype(_np.float32) * .3)
     dm = psq(a1, a2)
-    for mode in ("jacobi", "blockgs"):
+    for mode in ("jacobi", "blockgs", "blockgs_hbm"):
         asg = _np.asarray(auction_assignment_pallas(
-            dm, eps=0.002, iters=10000, mode=mode))
+            dm, eps=0.002, iters=10000, mode=mode,
+            block_w=64 if mode.startswith("blockgs") else 256))
         ok = True
         for b in range(2):
             r, c = linear_sum_assignment(_np.asarray(dm)[b])

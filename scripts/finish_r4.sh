@@ -53,4 +53,11 @@ if [ ! -s runs/probe_bf16_r4.jsonl ]; then
         > runs/probe_bf16_r4.jsonl 2>/tmp/probe_bf16.err \
         || echo "[finish_r4] stage 3 FAILED" >&2
 fi
+echo "[finish_r4] stage 4: serving dtype probe" >&2
+if [ ! -s runs/probe_serving_dtype.jsonl ]; then
+    timeout 3600 python scripts/probe_serving_dtype.py \
+        > runs/probe_serving_dtype.jsonl 2>/tmp/probe_serving.err \
+        || echo "[finish_r4] stage 4 FAILED" >&2
+fi
+
 echo "[finish_r4] done" >&2

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Serving-precision probe (round 4): eval-mode sample throughput and
+geometric fidelity for f32 vs bf16 generator trunks.
+
+Training needs f32 in the discriminator (BASELINE.md bf16 study), but
+SERVING runs only the generator in eval mode — if a bf16 trunk is
+geometrically neutral there, it is free HBM-bandwidth savings on the
+serving path. For each dtype this measures clouds/s at the two serving
+regimes (N=2048 bs=64, N=8192 bs=8) and the mean Chamfer displacement of
+its outputs vs the f32 outputs for the SAME z draws (deterministic
+comparison, no training noise). Prints one JSON line per (regime, dtype).
+Run with the TPU free.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from sp_gan_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sp_gan_tpu.config import Config
+    from sp_gan_tpu.data import sphere_template
+    from sp_gan_tpu.data.noise import sample_z
+    from sp_gan_tpu.ops.chamfer import chamfer
+    from sp_gan_tpu.train import create_train_state
+    from sp_gan_tpu.train.step import make_sample_fn
+
+    for N, BS in ((2048, 64), (8192, 8)):
+        ref_out = None
+        for dt in ("float32", "mixed_edge", "bfloat16_g"):
+            cfg = Config(np=N, bs=BS, nk=20, nz=128, dtype=dt,
+                         donate_state=False)
+            # same init seed across dtypes -> same weights, comparable
+            # geometry
+            state, G, D, g_tx, d_tx = create_train_state(
+                cfg, jax.random.PRNGKey(0))
+            sphere = jnp.asarray(sphere_template(N))
+            sample = make_sample_fn(cfg, G, sphere)
+            z = sample_z(jax.random.PRNGKey(1), BS, N, cfg.nz, cfg.nv)
+            out = sample(state, z)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            iters = 20
+            for _ in range(iters):
+                out = sample(state, z)
+            jax.block_until_ready(out)
+            dt_s = time.perf_counter() - t0
+            if dt == "float32":
+                ref_out = out
+                drift = 0.0
+            else:
+                d1, d2 = chamfer(out.astype(jnp.float32), ref_out)
+                drift = float((jnp.mean(d1) + jnp.mean(d2)) / 2)
+            print(json.dumps({
+                "measure": f"serving N={N} bs={BS} dtype={dt}",
+                "clouds_per_sec": round(iters * BS / dt_s, 1),
+                "ms_per_batch": round(1000 * dt_s / iters, 2),
+                "chamfer_vs_f32": round(drift, 8)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
