@@ -60,4 +60,29 @@ if [ ! -s runs/probe_serving_dtype.jsonl ]; then
         || echo "[finish_r4] stage 4 FAILED" >&2
 fi
 
+echo "[finish_r4] stage 5: N=8192 large-N campaign -> 500 epochs" >&2
+if [ -f runs/campaign_n8192/ckpt_epoch_500.pkl ]; then
+    echo "[finish_r4] stage 5 already complete" >&2
+else
+    run_campaign runs/campaign_n8192 500 --np 8192 --bs 4 \
+        --eval_every 50 --eval_size 32 --snapshot 100 \
+        || echo "[finish_r4] stage 5 FAILED" >&2
+fi
+
+echo "[finish_r4] stage 6: N=8192 held-out eval" >&2
+if [ ! -s runs/final_eval_n8192.json ]; then
+    python - <<'PY' || echo "[finish_r4] stage 6 ref draw FAILED" >&2
+import numpy as np, sys
+sys.path.insert(0, ".")
+from sp_gan_tpu.data.h5 import SyntheticDataset
+ref = SyntheticDataset(n_items=48, n_points=8192, seed=1).data
+np.save("runs/heldout_ref_8192.npy", ref)
+PY
+    timeout 5400 python evaluate.py --log_dir runs/campaign_n8192 \
+        --ckpt runs/campaign_n8192/ckpt_epoch_500.pkl --ema --n 48 \
+        --ref runs/heldout_ref_8192.npy --normalize \
+        > runs/final_eval_n8192.json \
+        || echo "[finish_r4] stage 6 FAILED" >&2
+fi
+
 echo "[finish_r4] done" >&2

@@ -18,7 +18,7 @@ newest() { ls -t "$1"/ckpt_epoch_*.pkl 2>/dev/null | head -1; }
 
 while :; do
     changed=0
-    for dir in ${DIRS:-runs/campaign_r3b runs/tail_lrboth runs/tail_lrd runs/campaign_mc}; do
+    for dir in ${DIRS:-runs/campaign_r3b runs/tail_lrboth runs/tail_lrd runs/campaign_mc runs/campaign_n8192}; do
         src=$(newest "$dir") || true
         [ -n "${src:-}" ] || continue
         name=$(basename "$dir")

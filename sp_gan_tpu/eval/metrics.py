@@ -28,7 +28,29 @@ from sp_gan_tpu.ops.voxel import voxel_occupancy
 def pairwise_cd_matrix(gen: jax.Array, ref: jax.Array,
                        col_chunk: int = 0) -> jax.Array:
     """[S1, N, 3] x [S2, M, 3] -> [S1, S2] of mean-CD (dl.mean + dr.mean),
-    the reference's `pairwise_CD` (loss_utils.py:519-546)."""
+    the reference's `pairwise_CD` (loss_utils.py:519-546).
+
+    col_chunk bounds the materialized per-row distance block to
+    [col_chunk, N, M]: at N=M=8192 an unchunked row is S2*256 MB of HBM
+    (13 GB at S2=48 — past a v5e chip). 0 auto-selects the largest chunk
+    whose block stays under ~2 GB (no-op at the N=2048 protocol regime)."""
+    S2, N, M = ref.shape[0], gen.shape[1], ref.shape[1]
+    if col_chunk <= 0:
+        col_chunk = max(1, min(S2, (2 << 30) // max(N * M * 4, 1)))
+    while S2 % col_chunk:
+        col_chunk -= 1
+
+    if col_chunk < S2:
+        refc = ref.reshape(S2 // col_chunk, col_chunk, M, ref.shape[-1])
+
+        def one_row(cloud):                               # [N,3] vs chunks
+            def one_chunk(rc):
+                d = pairwise_sqdist(cloud[None], rc)      # [c, N, M]
+                return (jnp.min(d, axis=-1).mean(-1)
+                        + jnp.min(d, axis=-2).mean(-1))
+            return lax.map(one_chunk, refc).reshape(S2)
+
+        return lax.map(one_row, gen)
 
     def one_row(cloud):                                   # [N,3] vs all refs
         d = pairwise_sqdist(cloud[None], ref)             # [S2, N, M]

@@ -164,3 +164,31 @@ class TestFPD:
         p = str(tmp_path / "stats.npz")
         fpd.save_statistics(a, p)
         assert fpd(a, stats_path=p) == pytest.approx(0.0, abs=1e-3)
+
+
+class TestCdMatrixChunking:
+    """col_chunk bounds the per-row block at large N without changing the
+    result (the N=8192 protocol regime needs it to fit HBM)."""
+
+    def test_chunked_matches_unchunked(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from sp_gan_tpu.eval.metrics import pairwise_cd_matrix
+        rng = np.random.default_rng(0)
+        gen = jnp.asarray(rng.standard_normal((5, 64, 3)).astype(np.float32))
+        ref = jnp.asarray(rng.standard_normal((6, 64, 3)).astype(np.float32))
+        full = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=6))
+        for c in (1, 2, 3):
+            chunked = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=c))
+            np.testing.assert_allclose(chunked, full, rtol=1e-6)
+
+    def test_non_divisor_chunk_rounds_down(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from sp_gan_tpu.eval.metrics import pairwise_cd_matrix
+        rng = np.random.default_rng(1)
+        gen = jnp.asarray(rng.standard_normal((3, 32, 3)).astype(np.float32))
+        ref = jnp.asarray(rng.standard_normal((7, 32, 3)).astype(np.float32))
+        full = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=7))
+        got = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=4))  # -> 1
+        np.testing.assert_allclose(got, full, rtol=1e-6)
