@@ -87,8 +87,29 @@ def main():
                                   use_emd=args.emd, emd_iters=args.emd_iters,
                                   mesh=mesh, jsd_scale=args.jsd_scale)
     if args.fpd:
-        fpd = (FPD.from_torch(args.fpd_weights) if args.fpd_weights
-               else FPD())
+        blob = None
+        if args.fpd_weights:
+            # flax variables pickle ({params, batch_stats} — e.g. the
+            # synthetic-family extractor from scripts/train_fpd_dgcnn.py)
+            # vs the reference protocol's torch state_dict (both are .pkl;
+            # dispatch on content)
+            import pickle
+            try:
+                with open(args.fpd_weights, "rb") as f:
+                    cand = pickle.load(f)
+                if isinstance(cand, dict) and "params" in cand:
+                    blob = cand
+            except Exception:
+                pass
+        if blob is not None:
+            fpd = FPD(variables=blob)
+            metrics["FPD_note"] = ("locally-trained DGCNN extractor — not "
+                                   "comparable to the reference's ShapeNet "
+                                   "FPD")
+        elif args.fpd_weights:
+            fpd = FPD.from_torch(args.fpd_weights)
+        else:
+            fpd = FPD()
         metrics["FPD"] = fpd(gen[:n], ref[:n] if not args.fpd_stats else None,
                              stats_path=args.fpd_stats)
         if fpd.random_features:

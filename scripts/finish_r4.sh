@@ -85,4 +85,30 @@ PY
         || echo "[finish_r4] stage 6 FAILED" >&2
 fi
 
+echo "[finish_r4] stage 7: train synthetic-family FPD extractor" >&2
+if [ ! -s runs/fpd_stats_synth.npz ]; then
+    timeout 3600 python scripts/train_fpd_dgcnn.py \
+        --out runs/fpd_dgcnn_synth.pkl --stats_out runs/fpd_stats_synth.npz \
+        > runs/fpd_dgcnn_train.jsonl 2>/tmp/fpd_train.err \
+        || echo "[finish_r4] stage 7 FAILED" >&2
+fi
+
+echo "[finish_r4] stage 8: FPD of the multi-class campaign endpoint" >&2
+if [ -s runs/fpd_stats_synth.npz ] && [ ! -s runs/campaign_mc/final_fpd.json ]; then
+    python - <<'PY' || echo "[finish_r4] stage 8 ref draw FAILED" >&2
+import numpy as np, sys
+sys.path.insert(0, ".")
+from sp_gan_tpu.data import SyntheticMultiClassDataset
+ref = SyntheticMultiClassDataset(n_items=96, n_points=2048, seed=2).data
+np.save("runs/heldout_ref_mc.npy", ref)
+PY
+    timeout 3600 python evaluate.py --log_dir runs/campaign_mc \
+        --ckpt runs/campaign_mc/ckpt_epoch_1500.pkl --ema --n 96 \
+        --ref runs/heldout_ref_mc.npy --normalize --fpd \
+        --fpd_weights runs/fpd_dgcnn_synth.pkl \
+        --fpd_stats runs/fpd_stats_synth.npz \
+        > runs/campaign_mc/final_fpd.json \
+        || echo "[finish_r4] stage 8 FAILED" >&2
+fi
+
 echo "[finish_r4] done" >&2
