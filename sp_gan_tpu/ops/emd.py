@@ -171,12 +171,17 @@ def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
     B, N, M = d.shape
     if scaled:
         from sp_gan_tpu.ops.dispatch import pallas_enabled
-        if pallas_enabled() and (64 << 20) < N * M * 4 <= (1 << 30):
-            # Matrix too big for VMEM (N=8192 -> 256 MB) but solver state
+        if pallas_enabled() and (16 << 20) < N * M * 4 <= (1 << 30):
+            # Matrix too big for the VMEM-resident kernel but solver state
             # [price/owner, O(M)] still fits: HBM-resident block
             # Gauss-Seidel (mode="blockgs_hbm") DMAs one [w, M] row-block
             # per round, so the active-set tail pays w/N of the matrix in
             # DMA instead of re-streaming all of it like the XLA path.
+            # The handoff is at 16 MB (= N=2048), not the VMEM capacity:
+            # the r3/r4 sweeps both found the VMEM kernel's compile FAILS
+            # at N=4096 (64 MB + scratch overflows the 96 MB budget in
+            # the compile helper) while blockgs_hbm runs 8.7 solves/s
+            # there (runs/sweep_auction_largen.jsonl).
             from sp_gan_tpu.ops.pallas.auction import (
                 auction_assignment_pallas)
             phases = 1 if iters <= 500 else 4
@@ -184,7 +189,7 @@ def _emd_forward(xyz1, xyz2, eps, iters, scaled=False):
                                                    phases=phases,
                                                    mode="blockgs_hbm",
                                                    block_w=64)
-        elif pallas_enabled() and N * M * 4 <= (64 << 20):
+        elif pallas_enabled() and N * M * 4 <= (16 << 20):
             # VMEM-resident solver: whole [N, M] distance block + prices +
             # owners stay on-core. r3 default is the block Gauss-Seidel
             # active-set kernel (mode="blockgs", ops/pallas/auction.py):
