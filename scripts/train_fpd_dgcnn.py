@@ -42,7 +42,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--n_train", type=int, default=1536)
     p.add_argument("--n_val", type=int, default=192)
-    p.add_argument("--n_stats", type=int, default=192)
+    p.add_argument("--n_stats", type=int, default=384)
     args = p.parse_args()
 
     from sp_gan_tpu.utils import enable_compile_cache
