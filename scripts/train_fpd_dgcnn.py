@@ -125,8 +125,10 @@ def main():
         pickle.dump(feat_vars, f)
     print(json.dumps({"saved": args.out}), flush=True)
 
-    # held-out statistics (disjoint seed from training AND from the
-    # campaign held-out eval draw, which uses seed=1 of the same family)
+    # reference statistics from a draw disjoint from the extractor's
+    # training/val seeds (10/11) and every campaign's training seed (0);
+    # seed=1 deliberately MATCHES the held-out metric-eval draw so FPD and
+    # CD metrics score against the same reference distribution
     stats_ds = SyntheticMultiClassDataset(n_items=args.n_stats,
                                           n_points=args.np, seed=1)
     ref = np.asarray(normalize_point_cloud(stats_ds.data), np.float32)
