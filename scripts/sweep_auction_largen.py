@@ -24,25 +24,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_case(d, mode, w, eps, iters, phases):
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from sp_gan_tpu.ops.pallas.auction import auction_assignment_pallas
 
     B = d.shape[0]
-    f = jax.jit(lambda dd: auction_assignment_pallas(
-        dd, eps, iters, phases=phases, mode=mode, block_w=w))
-    r = f(d)
+    # The jitted fn takes a per-call scalar mixed into the distances so
+    # every timed dispatch has DISTINCT inputs: the first version of this
+    # sweep re-dispatched identical args and the relay served memoized
+    # results (N=2048 "117737 solves/s" — see the _r1dispatch artifact).
+    # The scalar add is one HBM pass, negligible vs a multi-second solve,
+    # and a 1e-6 jitter on squared distances cannot change throughput.
+    f = jax.jit(lambda dd, s: auction_assignment_pallas(
+        dd + s * 1e-6, eps, iters, phases=phases, mode=mode, block_w=w))
+    r = f(d, jnp.float32(0.0))
     jax.block_until_ready(r)
     # time over enough serial dispatches to swamp the axon relay's
     # per-call overhead (single-dispatch wall times are meaningless —
     # ROADMAP ops notes); scale the count to keep slow solves bounded
     t0 = time.perf_counter()
-    r = f(d)
-    jax.block_until_ready(r)
+    jax.block_until_ready(f(d, jnp.float32(1.0)))
     probe = time.perf_counter() - t0
     reps = max(3, min(50, int(10.0 / max(probe, 1e-3))))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r = f(d)
+    for i in range(reps):
+        r = f(d, jnp.float32(2.0 + i))
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / reps
     asg = np.asarray(r)

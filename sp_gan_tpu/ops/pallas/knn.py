@@ -382,5 +382,11 @@ def knn_pallas(x: jax.Array, k: int, tq: int = 256):
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * N * C, transcendentals=0,
             bytes_accessed=B * N * C * 4 * (N // tq) + B * N * k * 8),
+        # the dense [TQ, N] distance tile + self-mask iotas + unrolled
+        # selection temporaries reach ~21.5 MB at tq=256/N=8192 — over
+        # XLA's ~16.6 MB default scoped-vmem limit (the r4 stage-6 eval
+        # OOM); cap explicitly like the fused edge kernel does
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x)
     return idx, dist
