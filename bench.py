@@ -28,6 +28,21 @@ def main():
     from sp_gan_tpu.data import SyntheticDataset, sphere_template
     from sp_gan_tpu.train import create_train_state, make_train_step
 
+    def sync(x):
+        """Force device completion via a host fetch of the smallest leaf.
+
+        On the axon TPU relay `jax.block_until_ready` can return without
+        waiting for execution (measured: an independent-dispatch auction
+        timed 83714 "solves/s" under block_until_ready vs 53/s when each
+        result was materialized). A host materialization always round-trips,
+        so every timed region below ends with one. Fetching the LAST leaf
+        (the most recently dispatched result) forces everything before it:
+        a single chip executes its dispatch queue in order. Every call site
+        below passes only small leaves (scalar metrics / distance rows).
+        """
+        np.asarray(jax.tree_util.tree_leaves(x)[-1])
+        return x
+
     BS, N, T = 24, 2048, 8
     cfg = Config(np=N, bs=BS, nk=20, nz=128, donate_state=True)
     state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -48,15 +63,15 @@ def main():
 
     # compile + warmup
     state, m = chunk(state, batches)
-    jax.block_until_ready(m)
+    sync(m)
     state, m = chunk(state, batches)
-    jax.block_until_ready(m)
+    sync(m)
 
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = chunk(state, batches)
-    jax.block_until_ready(m)
+    sync(m)
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters * T / dt
@@ -69,20 +84,22 @@ def main():
     key = jax.random.PRNGKey(0)
     clouds = jax.random.normal(key, (96, N, 3), jnp.float32)
     cd_fn = jax.jit(lambda a, b: pairwise_cd_matrix(a, b))
-    cd_fn(clouds, clouds).block_until_ready()
+    sync(cd_fn(clouds, clouds))
     t0 = time.perf_counter()
-    for _ in range(3):
-        r = cd_fn(clouds, clouds)
-    jax.block_until_ready(r)
+    r0 = cd_fn(clouds, clouds)
+    r1 = cd_fn(clouds + 1e-6, clouds)
+    r2 = cd_fn(clouds, clouds + 1e-6)
+    sync((r0, r1, r2))
     cd_evals_per_sec = 3 * 96 * 96 / (time.perf_counter() - t0)
 
     gen = batches[0][:16]
     emd_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.005, 50)[0])
-    emd_fn(gen, gen).block_until_ready()
+    sync(emd_fn(gen, gen))
     t0 = time.perf_counter()
-    for _ in range(3):
-        r = emd_fn(gen, gen)
-    jax.block_until_ready(r)
+    r0 = emd_fn(gen, gen)
+    r1 = emd_fn(gen + 1e-6, gen)
+    r2 = emd_fn(gen, gen + 1e-6)
+    sync((r0, r1, r2))
     emd_evals_per_sec = 3 * gen.shape[0] / (time.perf_counter() - t0)
 
     # metric-protocol EMD (eps=0.002, converged): VMEM-resident
@@ -90,11 +107,11 @@ def main():
     gen8 = batches[0][:8]
     ref8 = batches[1][:8]
     emd_m_fn = jax.jit(lambda a, b: emd_auction(a, b, 0.002, 10000, True)[0])
-    emd_m_fn(gen8, ref8).block_until_ready()
+    sync(emd_m_fn(gen8, ref8))
     t0 = time.perf_counter()
-    for _ in range(2):
-        r = emd_m_fn(gen8, ref8)
-    jax.block_until_ready(r)
+    r0 = emd_m_fn(gen8, ref8)
+    r1 = emd_m_fn(ref8, gen8)
+    sync((r0, r1))
     emd_metric_per_sec = 2 * gen8.shape[0] / (time.perf_counter() - t0)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

@@ -47,12 +47,21 @@ def main():
             sample = make_sample_fn(cfg, G, sphere)
             z = sample_z(jax.random.PRNGKey(1), BS, N, cfg.nz, cfg.nv)
             out = sample(state, z)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
+            # force completion with a host fetch: on the axon relay
+            # block_until_ready can return before execution finishes
+            # (see bench.py::sync); fetching one row of the LAST dispatch
+            # forces the whole in-order queue.
+            np.asarray(out[0, 0])
+            # distinct z per timed dispatch: identical re-dispatched args
+            # can be served memoized by the relay (measured in the large-N
+            # auction sweep, runs/sweep_auction_largen_r1dispatch.jsonl)
             iters = 20
-            for _ in range(iters):
-                out = sample(state, z)
-            jax.block_until_ready(out)
+            zs = [sample_z(jax.random.PRNGKey(2 + i), BS, N, cfg.nz, cfg.nv)
+                  for i in range(iters)]
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = sample(state, zs[i])
+            np.asarray(out[0, 0])
             dt_s = time.perf_counter() - t0
             if dt == "float32":
                 ref_out = out

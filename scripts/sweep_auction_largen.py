@@ -37,21 +37,20 @@ def run_case(d, mode, w, eps, iters, phases):
     # and a 1e-6 jitter on squared distances cannot change throughput.
     f = jax.jit(lambda dd, s: auction_assignment_pallas(
         dd + s * 1e-6, eps, iters, phases=phases, mode=mode, block_w=w))
-    r = f(d, jnp.float32(0.0))
-    jax.block_until_ready(r)
-    # time over enough serial dispatches to swamp the axon relay's
-    # per-call overhead (single-dispatch wall times are meaningless —
-    # ROADMAP ops notes); scale the count to keep slow solves bounded
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(d, jnp.float32(1.0)))
-    probe = time.perf_counter() - t0
-    reps = max(3, min(50, int(10.0 / max(probe, 1e-3))))
-    t0 = time.perf_counter()
-    for i in range(reps):
-        r = f(d, jnp.float32(2.0 + i))
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / reps
-    asg = np.asarray(r)
+    asg = np.asarray(f(d, jnp.float32(0.0)))  # warm compile
+    # Time by materializing EVERY dispatch: on the axon relay
+    # jax.block_until_ready does NOT wait for independent dispatches —
+    # only a host fetch forces the round trip (two prior versions of this
+    # sweep measured enqueue overhead: 117737 then 83714 "solves/s" at
+    # N=2048 vs 53/s materialized). Chained-state loops (bench.py) are
+    # unaffected; independent-dispatch timing must fetch each result.
+    # The per-call scalar keeps inputs distinct across reps regardless.
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        asg = np.asarray(f(d, jnp.float32(1.0 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     uniq = min(len(set(asg[i])) for i in range(B))
     dn = np.asarray(d)
     cost = float(np.mean([dn[i][np.arange(dn.shape[1]), asg[i]].sum()
