@@ -63,6 +63,23 @@ def main():
                 out = sample(state, zs[i])
             np.asarray(out[0, 0])
             dt_s = time.perf_counter() - t0
+
+            # device-ceiling measurement: the loop above pays the relay's
+            # per-dispatch round trip, so it is a serving-LATENCY floor.
+            # One scanned program = one dispatch for all `iters` batches
+            # -> pure device throughput (z sampling in-scan, negligible).
+            @jax.jit
+            def scan_fn(st, ks):
+                def body(c, k):
+                    zk = sample_z(k, BS, N, cfg.nz, cfg.nv)
+                    return c, sample(st, zk)[:, 0]
+                return jax.lax.scan(body, 0, ks)[1]
+            keys = jax.random.split(jax.random.PRNGKey(7), iters)
+            np.asarray(scan_fn(state, keys)[-1, 0])  # warm compile
+            t0 = time.perf_counter()
+            r = scan_fn(state, keys)
+            np.asarray(r[-1, 0])
+            dt_scan = time.perf_counter() - t0
             if dt == "float32":
                 ref_out = out
                 drift = 0.0
@@ -73,6 +90,8 @@ def main():
                 "measure": f"serving N={N} bs={BS} dtype={dt}",
                 "clouds_per_sec": round(iters * BS / dt_s, 1),
                 "ms_per_batch": round(1000 * dt_s / iters, 2),
+                "clouds_per_sec_scan": round(iters * BS / dt_scan, 1),
+                "ms_per_batch_scan": round(1000 * dt_scan / iters, 2),
                 "chamfer_vs_f32": round(drift, 8)}), flush=True)
 
 
