@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def probe(dtype: str, steps: int, seed: int = 0):
+def probe(variant: str, steps: int, seed: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,7 +29,13 @@ def probe(dtype: str, steps: int, seed: int = 0):
     from sp_gan_tpu.train.step import make_sample_fn
 
     BS, N = 24, 2048
-    cfg = Config(np=N, bs=BS, nk=20, nz=128, dtype=dtype, donate_state=True)
+    # variant = "<dtype>[+flag ...]" where each flag is a boolean Config
+    # field, e.g. "mixed_edge+n_mix" or "mixed_edge+n_rand" (the reference's
+    # noise_generator options, model.py:122-154)
+    parts = variant.split("+")
+    dtype, flags = parts[0], {f: True for f in parts[1:]}
+    cfg = Config(np=N, bs=BS, nk=20, nz=128, dtype=dtype, donate_state=True,
+                 **flags)
     state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(seed))
     sphere = jnp.asarray(sphere_template(N))
     step = make_train_step(cfg, G, D, g_tx, d_tx, sphere)
@@ -59,7 +65,7 @@ def probe(dtype: str, steps: int, seed: int = 0):
     d_gt = np.asarray(pairwise_cd_matrix(jnp.asarray(gen), jnp.asarray(ref)))
     mmd_cd = float(d_gt.min(axis=0).mean())          # MMD: ref -> closest gen
     metrics = {k: float(v) for k, v in m.items()}
-    return {"dtype": dtype, "steps": steps,
+    return {"variant": variant, "steps": steps,
             "steps_per_sec": round(steps / dt, 2),
             "mmd_cd": round(mmd_cd, 5),
             "real_acc": round(metrics["real_acc"], 3),
