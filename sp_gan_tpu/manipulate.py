@@ -131,14 +131,58 @@ class Manipulator:
 
     # -------------------------------------------------------------- API
     def generate(self, n: int, seed: int = 0, normalize: bool = True,
-                 batch: int = 64) -> np.ndarray:
-        """simple_gen: n shapes [n, N, 3] (normalized like model_test:139-203)."""
-        outs = []
-        for lo in range(0, n, batch):
+                 batch: int = 64, scan: Optional[bool] = None) -> np.ndarray:
+        """simple_gen: n shapes [n, N, 3] (normalized like model_test:139-203).
+
+        scan=True folds all FULL batches into ONE dispatched lax.scan
+        program — bulk generation then pays one host/relay round trip
+        instead of one per batch (measured 7-14 ms each; BASELINE.md r4
+        serving notes). z is sampled in-scan from the same per-batch
+        seeds, so the codes are bit-identical to the loop path; outputs
+        agree up to float-reassociation noise (the scan body is a
+        different XLA program, and a 1-ulp distance difference can flip
+        a kNN neighbor on near-tie template distances).
+        Default: auto — scan when n spans >= 4 batches. The remainder
+        batch (and scan=False) use the plain per-batch dispatch loop."""
+        if scan is None:
+            scan = n >= 4 * batch
+        t = n // batch if scan else 0
+        outs, lo0 = [], 0
+        if t > 1:
+            outs.append(self._generate_scanned(t, batch, seed))
+            lo0 = t * batch
+        for lo in range(lo0, n, batch):
             z = self.sample_codes(min(batch, n - lo), seed + lo)
             outs.append(self.forward(z))
         pcs = np.concatenate(outs, axis=0)
         return np.asarray(normalize_point_cloud(pcs)) if normalize else pcs
+
+    def _generate_scanned(self, t: int, batch: int, seed: int) -> np.ndarray:
+        """t full batches in one dispatched program; per-batch codes from
+        PRNGKey(seed + i*batch) exactly as the loop path samples them."""
+        cache_key = batch
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if cache_key not in self._scan_cache:
+            per_point = bool(self.cfg.n_rand)
+            N, nz, nv = self.cfg.np, self.cfg.nz, self.cfg.nv
+            x = jnp.broadcast_to(self.sphere[None],
+                                 (batch,) + self.sphere.shape)
+            fwd = self._fwd
+
+            def scanned(variables, seeds):
+                def body(c, s):
+                    key = jax.random.PRNGKey(s)
+                    shape = (batch, N if per_point else 1, nz)
+                    z = nv * jax.random.normal(key, shape)
+                    z = jnp.broadcast_to(z, (batch, N, nz))
+                    return c, fwd(variables, x, z)
+                return jax.lax.scan(body, 0, seeds)[1]
+
+            self._scan_cache[cache_key] = jax.jit(scanned)
+        seeds = seed + batch * jnp.arange(t, dtype=jnp.int32)
+        out = self._scan_cache[cache_key](self.variables, seeds)
+        return np.asarray(out).reshape(t * batch, self.cfg.np, 3)
 
     def correspondence(self, n: int = 4, seed: int = 0):
         """Shapes + per-point colors from sphere xyz (draw_correspondense:

@@ -48,18 +48,28 @@ def enable_compile_cache(path: str | None = None) -> None:
 
 
 def _host_cpu_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags."""
+    """Short stable hash of this host's CPU identity.
+
+    Hashes the feature flags AND the model identity (vendor/family/model/
+    stepping/model name): LLVM's AOT target config also bakes in per-model
+    TUNING preferences (+prefer-no-gather/+prefer-no-scatter etc.) that two
+    hosts with identical cpuinfo flags can disagree on — flags alone let a
+    rotated host inherit a cache whose every entry fails cpu_aot_loader."""
     import hashlib
 
-    flags = ""
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "Features", "vendor_id", "cpu family",
+                           "model", "model name", "stepping"):
+                    parts.append(
+                        key + "=" + " ".join(sorted(line.split(":", 1)[1].split())))
+                if line.strip() == "" and parts:
+                    break  # first core only; all cores identical
     except OSError:
         import platform
 
-        flags = platform.processor() or platform.machine()
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+        parts = [platform.processor() or platform.machine()]
+    return hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:12]

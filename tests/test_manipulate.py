@@ -85,6 +85,18 @@ class TestManipulator:
         r = np.linalg.norm(pcs, axis=-1).max(1)
         np.testing.assert_allclose(r, 1.0, atol=1e-3)
 
+    def test_generate_scan_matches_loop(self, man):
+        # 10 shapes at batch=4 -> 2 scanned full batches + remainder loop.
+        # In-scan z sampling reuses the loop path's per-batch seeds, so a
+        # wrong-seed bug would shift EVERY element by O(1); the scan body
+        # being a separately-compiled XLA program, a sparse subset of
+        # points may flip a kNN neighbor on near-tie distances (~1e-3).
+        loop = man.generate(10, seed=5, batch=4, scan=False)
+        scanned = man.generate(10, seed=5, batch=4, scan=True)
+        diff = np.abs(scanned - loop)
+        assert np.median(diff) < 1e-6, "bulk z-sampling diverged from loop"
+        assert diff.max() < 2e-2, "scan output beyond tie-flip noise"
+
     def test_correspondence(self, man):
         pcs, colors = man.correspondence(2)
         assert colors.shape == pcs.shape
