@@ -147,20 +147,33 @@ class Manipulator:
         if scan is None:
             scan = n >= 4 * batch
         t = n // batch if scan else 0
-        outs, lo0 = [], 0
+        scanned, lo0 = None, 0
         if t > 1:
-            outs.append(self._generate_scanned(t, batch, seed))
+            scanned = self._generate_scanned(t, batch, seed, normalize)
             lo0 = t * batch
+        outs = []
         for lo in range(lo0, n, batch):
             z = self.sample_codes(min(batch, n - lo), seed + lo)
             outs.append(self.forward(z))
-        pcs = np.concatenate(outs, axis=0)
-        return np.asarray(normalize_point_cloud(pcs)) if normalize else pcs
+        if outs:
+            # one normalize dispatch for the whole loop-path remainder
+            # (per-cloud op, so slice-wise == concatenated); the scanned
+            # part already normalized in-scan on device
+            pcs = np.concatenate(outs, axis=0)
+            if normalize:
+                pcs = np.asarray(normalize_point_cloud(pcs))
+            outs = [pcs]
+        return np.concatenate(([scanned] if scanned is not None else [])
+                              + outs, axis=0)
 
-    def _generate_scanned(self, t: int, batch: int, seed: int) -> np.ndarray:
+    def _generate_scanned(self, t: int, batch: int, seed: int,
+                          normalize: bool) -> np.ndarray:
         """t full batches in one dispatched program; per-batch codes from
-        PRNGKey(seed + i*batch) exactly as the loop path samples them."""
-        cache_key = batch
+        PRNGKey(seed + i*batch) exactly as the loop path samples them.
+        Normalization runs in-scan on device — it is per-cloud and nearly
+        free there, while a host pass over the bulk result costs ~0.5 s
+        per 1k clouds at N=2048 (BASELINE.md r4 serving notes)."""
+        cache_key = (batch, normalize)
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
         if cache_key not in self._scan_cache:
@@ -176,7 +189,8 @@ class Manipulator:
                     shape = (batch, N if per_point else 1, nz)
                     z = nv * jax.random.normal(key, shape)
                     z = jnp.broadcast_to(z, (batch, N, nz))
-                    return c, fwd(variables, x, z)
+                    pcs = fwd(variables, x, z)
+                    return c, normalize_point_cloud(pcs) if normalize else pcs
                 return jax.lax.scan(body, 0, seeds)[1]
 
             self._scan_cache[cache_key] = jax.jit(scanned)
