@@ -134,16 +134,20 @@ class Manipulator:
                  batch: int = 64, scan: Optional[bool] = None) -> np.ndarray:
         """simple_gen: n shapes [n, N, 3] (normalized like model_test:139-203).
 
-        scan=True folds all FULL batches into ONE dispatched lax.scan
-        program — bulk generation then pays one host/relay round trip
-        instead of one per batch (measured 7-14 ms each; BASELINE.md r4
-        serving notes). z is sampled in-scan from the same per-batch
-        seeds, so the codes are bit-identical to the loop path; outputs
-        agree up to float-reassociation noise (the scan body is a
-        different XLA program, and a 1-ulp distance difference can flip
-        a kNN neighbor on near-tie template distances).
+        scan=True folds the FULL batches into scanned lax.scan programs
+        (power-of-two chunk lengths, so at most log2 dispatches) — bulk
+        generation then pays a couple of host/relay round trips instead
+        of one per batch (measured 7-14 ms each; BASELINE.md r4 serving
+        notes). z is sampled in-scan from the same per-batch seeds, so
+        the codes are bit-identical to the loop path; outputs agree up
+        to float-reassociation noise (the scan body is a different XLA
+        program, and a 1-ulp distance difference can flip a kNN neighbor
+        on near-tie template distances — pass scan=False to bit-match
+        per-batch-loop outputs).
         Default: auto — scan when n spans >= 4 batches. The remainder
         batch (and scan=False) use the plain per-batch dispatch loop."""
+        if n <= 0:
+            return np.zeros((0, self.cfg.np, 3), np.float32)
         if scan is None:
             scan = n >= 4 * batch
         t = n // batch if scan else 0
@@ -155,48 +159,55 @@ class Manipulator:
         for lo in range(lo0, n, batch):
             z = self.sample_codes(min(batch, n - lo), seed + lo)
             outs.append(self.forward(z))
+        rest = None
         if outs:
             # one normalize dispatch for the whole loop-path remainder
             # (per-cloud op, so slice-wise == concatenated); the scanned
             # part already normalized in-scan on device
-            pcs = np.concatenate(outs, axis=0)
+            rest = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
             if normalize:
-                pcs = np.asarray(normalize_point_cloud(pcs))
-            outs = [pcs]
-        return np.concatenate(([scanned] if scanned is not None else [])
-                              + outs, axis=0)
+                rest = np.asarray(normalize_point_cloud(rest))
+        if rest is None:
+            return scanned
+        if scanned is None:
+            return rest
+        return np.concatenate([scanned, rest], axis=0)
 
     def _generate_scanned(self, t: int, batch: int, seed: int,
                           normalize: bool) -> np.ndarray:
-        """t full batches in one dispatched program; per-batch codes from
-        PRNGKey(seed + i*batch) exactly as the loop path samples them.
+        """t full batches through scanned programs. The scan length is a
+        structural shape (every distinct length would be its own XLA
+        compile), so t is decomposed into power-of-two chunks: a bounded
+        set of compiled programs serves ALL bulk sizes, at <= log2(t)
+        dispatches per call. Per-batch codes come from sample_codes'
+        PRNGKey(seed + i*batch) arithmetic, identical to the loop path.
         Normalization runs in-scan on device — it is per-cloud and nearly
         free there, while a host pass over the bulk result costs ~0.5 s
         per 1k clouds at N=2048 (BASELINE.md r4 serving notes)."""
-        cache_key = (batch, normalize)
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
+        cache_key = (batch, normalize)
         if cache_key not in self._scan_cache:
-            per_point = bool(self.cfg.n_rand)
-            N, nz, nv = self.cfg.np, self.cfg.nz, self.cfg.nv
             x = jnp.broadcast_to(self.sphere[None],
                                  (batch,) + self.sphere.shape)
-            fwd = self._fwd
+            fwd, sample = self._fwd, self.sample_codes
 
             def scanned(variables, seeds):
                 def body(c, s):
-                    key = jax.random.PRNGKey(s)
-                    shape = (batch, N if per_point else 1, nz)
-                    z = nv * jax.random.normal(key, shape)
-                    z = jnp.broadcast_to(z, (batch, N, nz))
-                    pcs = fwd(variables, x, z)
+                    pcs = fwd(variables, x, sample(batch, s))
                     return c, normalize_point_cloud(pcs) if normalize else pcs
                 return jax.lax.scan(body, 0, seeds)[1]
 
             self._scan_cache[cache_key] = jax.jit(scanned)
-        seeds = seed + batch * jnp.arange(t, dtype=jnp.int32)
-        out = self._scan_cache[cache_key](self.variables, seeds)
-        return np.asarray(out).reshape(t * batch, self.cfg.np, 3)
+        prog = self._scan_cache[cache_key]
+        outs, i0 = [], 0
+        while i0 < t:
+            length = 1 << ((t - i0).bit_length() - 1)  # max pow2 <= rest
+            seeds = seed + batch * (i0 + jnp.arange(length, dtype=jnp.int32))
+            outs.append(np.asarray(prog(self.variables, seeds))
+                        .reshape(length * batch, self.cfg.np, 3))
+            i0 += length
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def correspondence(self, n: int = 4, seed: int = 0):
         """Shapes + per-point colors from sphere xyz (draw_correspondense:

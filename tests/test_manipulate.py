@@ -97,6 +97,20 @@ class TestManipulator:
         assert np.median(diff) < 1e-6, "bulk z-sampling diverged from loop"
         assert diff.max() < 2e-2, "scan output beyond tie-flip noise"
 
+    def test_generate_scan_pow2_chunks(self, man):
+        # 14 shapes at batch=4 -> t=3 full batches = pow2 chunks [2, 1]
+        # (two scan dispatches) + one remainder loop batch of 2
+        loop = man.generate(14, seed=3, batch=4, scan=False)
+        scanned = man.generate(14, seed=3, batch=4, scan=True)
+        assert scanned.shape == (14, loop.shape[1], 3)
+        diff = np.abs(scanned - loop)
+        assert np.median(diff) < 1e-6
+        assert diff.max() < 2e-2
+
+    def test_generate_zero(self, man):
+        pcs = man.generate(0)
+        assert pcs.shape == (0, man.cfg.np, 3)
+
     def test_correspondence(self, man):
         pcs, colors = man.correspondence(2)
         assert colors.shape == pcs.shape
