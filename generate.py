@@ -20,6 +20,11 @@ def main():
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.npy")
+    p.add_argument("--wire", default=None, choices=["float32", "bfloat16"],
+                   help="device->host wire format for bulk generation; "
+                   "bfloat16 halves the fetch bytes (output stays float32, "
+                   "coords rounded through bf16 — quality-free per the r4 "
+                   "serving-precision probe)")
     p.add_argument("--xyz_dir", default=None, help="also dump per-shape .xyz")
     args = p.parse_args()
 
@@ -35,7 +40,7 @@ def main():
     ckpt = args.ckpt or latest_checkpoint(args.log_dir)
     assert ckpt, f"no checkpoint in {args.log_dir}"
     man = from_checkpoint(ckpt, cfg, use_ema=args.ema)
-    pcs = man.generate(args.n, seed=args.seed)
+    pcs = man.generate(args.n, seed=args.seed, wire_dtype=args.wire)
     np.save(args.out, pcs)
     print(f"saved {pcs.shape} -> {args.out}")
     if args.xyz_dir:

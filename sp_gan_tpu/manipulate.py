@@ -131,7 +131,8 @@ class Manipulator:
 
     # -------------------------------------------------------------- API
     def generate(self, n: int, seed: int = 0, normalize: bool = True,
-                 batch: int = 64, scan: Optional[bool] = None) -> np.ndarray:
+                 batch: int = 64, scan: Optional[bool] = None,
+                 wire_dtype: Optional[str] = None) -> np.ndarray:
         """simple_gen: n shapes [n, N, 3] (normalized like model_test:139-203).
 
         scan=True folds the FULL batches into scanned lax.scan programs
@@ -145,15 +146,29 @@ class Manipulator:
         on near-tie template distances — pass scan=False to bit-match
         per-batch-loop outputs).
         Default: auto — scan when n spans >= 4 batches. The remainder
-        batch (and scan=False) use the plain per-batch dispatch loop."""
+        batch (and scan=False) use the plain per-batch dispatch loop.
+
+        wire_dtype='bfloat16' casts the SCANNED bulk result to bf16 on
+        device after normalization, halving the device->host transfer
+        (the dominant fetch cost for bulk sizes; BASELINE.md r4 serving
+        notes). The returned array is float32 with coordinates rounded
+        through bf16 (|err| <= ~0.4% of the unit-sphere radius — the
+        serving-precision probe measured this quality-free,
+        runs/probe_serving_dtype.jsonl). Compute stays f32; only the
+        wire format changes. The loop-path remainder (< 1 batch when
+        scanning) is fetched in f32 either way."""
         if n <= 0:
             return np.zeros((0, self.cfg.np, 3), np.float32)
+        if wire_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(f"wire_dtype {wire_dtype!r} not in "
+                             "(None, 'float32', 'bfloat16')")
         if scan is None:
             scan = n >= 4 * batch
         t = n // batch if scan else 0
         scanned, lo0 = None, 0
         if t > 1:
-            scanned = self._generate_scanned(t, batch, seed, normalize)
+            scanned = self._generate_scanned(t, batch, seed, normalize,
+                                             wire_dtype == "bfloat16")
             lo0 = t * batch
         outs = []
         for lo in range(lo0, n, batch):
@@ -174,7 +189,8 @@ class Manipulator:
         return np.concatenate([scanned, rest], axis=0)
 
     def _generate_scanned(self, t: int, batch: int, seed: int,
-                          normalize: bool) -> np.ndarray:
+                          normalize: bool, wire_bf16: bool = False
+                          ) -> np.ndarray:
         """t full batches through scanned programs. The scan length is a
         structural shape (every distinct length would be its own XLA
         compile), so t is decomposed into power-of-two chunks: a bounded
@@ -186,7 +202,7 @@ class Manipulator:
         per 1k clouds at N=2048 (BASELINE.md r4 serving notes)."""
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
-        cache_key = (batch, normalize)
+        cache_key = (batch, normalize, wire_bf16)
         if cache_key not in self._scan_cache:
             x = jnp.broadcast_to(self.sphere[None],
                                  (batch,) + self.sphere.shape)
@@ -195,7 +211,12 @@ class Manipulator:
             def scanned(variables, seeds):
                 def body(c, s):
                     pcs = fwd(variables, x, sample(batch, s))
-                    return c, normalize_point_cloud(pcs) if normalize else pcs
+                    if normalize:
+                        pcs = normalize_point_cloud(pcs)
+                    # compute + normalization stay f32; cast only the
+                    # carried-out value so the host fetch moves half the
+                    # bytes (wire format, not a compute precision change)
+                    return c, pcs.astype(jnp.bfloat16) if wire_bf16 else pcs
                 return jax.lax.scan(body, 0, seeds)[1]
 
             self._scan_cache[cache_key] = jax.jit(scanned)
@@ -205,6 +226,7 @@ class Manipulator:
             length = 1 << ((t - i0).bit_length() - 1)  # max pow2 <= rest
             seeds = seed + batch * (i0 + jnp.arange(length, dtype=jnp.int32))
             outs.append(np.asarray(prog(self.variables, seeds))
+                        .astype(np.float32, copy=False)
                         .reshape(length * batch, self.cfg.np, 3))
             i0 += length
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)

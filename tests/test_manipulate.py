@@ -107,6 +107,26 @@ class TestManipulator:
         assert np.median(diff) < 1e-6
         assert diff.max() < 2e-2
 
+    def test_generate_bf16_wire(self, man):
+        # wire_dtype only changes the fetch format of the scanned bulk
+        # part: output is float32, values are the f32 scan result rounded
+        # through bf16 (<= 2^-8 relative on unit-sphere coords), and the
+        # remainder loop batch is untouched f32.
+        f32 = man.generate(10, seed=7, batch=4, scan=True)
+        bf = man.generate(10, seed=7, batch=4, scan=True,
+                          wire_dtype="bfloat16")
+        assert bf.dtype == np.float32
+        assert bf.shape == f32.shape
+        # scanned part (first 8): bf16 rounding of the same values
+        np.testing.assert_allclose(bf[:8], f32[:8], atol=2 ** -8)
+        assert np.abs(bf[:8] - f32[:8]).max() > 0, "cast was a no-op"
+        # remainder loop batch (last 2): bit-identical f32 path
+        np.testing.assert_array_equal(bf[8:], f32[8:])
+
+    def test_generate_wire_dtype_validates(self, man):
+        with pytest.raises(ValueError):
+            man.generate(4, wire_dtype="float16")
+
     def test_generate_zero(self, man):
         pcs = man.generate(0)
         assert pcs.shape == (0, man.cfg.np, 3)
