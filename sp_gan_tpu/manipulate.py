@@ -221,14 +221,20 @@ class Manipulator:
 
             self._scan_cache[cache_key] = jax.jit(scanned)
         prog = self._scan_cache[cache_key]
-        outs, i0 = [], 0
+        # dispatch every pow2 chunk before forcing any fetch: jax dispatch
+        # is async, so chunk k+1 computes on device while chunk k's result
+        # streams to the host (the fetch dominates bulk wall time —
+        # BASELINE.md r4 serving notes)
+        pending, lengths, i0 = [], [], 0
         while i0 < t:
             length = 1 << ((t - i0).bit_length() - 1)  # max pow2 <= rest
             seeds = seed + batch * (i0 + jnp.arange(length, dtype=jnp.int32))
-            outs.append(np.asarray(prog(self.variables, seeds))
-                        .astype(np.float32, copy=False)
-                        .reshape(length * batch, self.cfg.np, 3))
+            pending.append(prog(self.variables, seeds))
+            lengths.append(length)
             i0 += length
+        outs = [np.asarray(dev).astype(np.float32, copy=False)
+                .reshape(length * batch, self.cfg.np, 3)
+                for dev, length in zip(pending, lengths)]
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def correspondence(self, n: int = 4, seed: int = 0):
