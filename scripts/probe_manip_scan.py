@@ -38,14 +38,16 @@ def main():
     state, G, D, g_tx, d_tx = create_train_state(cfg, jax.random.PRNGKey(0))
     man = Manipulator(cfg, state.g_params, state.g_stats)
 
-    for mode, scan in (("loop", False), ("scan", True)):
+    for mode, scan, wire in (("loop", False, None), ("scan", True, None),
+                             ("scan+bf16wire", True, "bfloat16")):
         # warm at the FULL n: the scan program's length is a traced shape,
         # so a shorter warm-up would compile a different program
-        man.generate(n, seed=999, batch=BS, scan=scan)
+        man.generate(n, seed=999, batch=BS, scan=scan, wire_dtype=wire)
         times = []
         for rep in range(3):
             t0 = time.perf_counter()
-            out = man.generate(n, seed=1000 * (rep + 1), batch=BS, scan=scan)
+            out = man.generate(n, seed=1000 * (rep + 1), batch=BS, scan=scan,
+                               wire_dtype=wire)
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         print(json.dumps({
