@@ -21,7 +21,8 @@ import torch.nn as tnn
 import torch.nn.functional as tF
 
 from sp_gan_tpu.config import Config
-from sp_gan_tpu.compat import convert_discriminator, convert_generator
+from sp_gan_tpu.compat import (convert_discriminator, convert_generator,
+                               export_discriminator, export_generator)
 from sp_gan_tpu.nn import Discriminator, Generator
 
 torch.manual_seed(0)
@@ -227,3 +228,80 @@ class TestDiscriminatorParity:
         ours = D.apply({"params": params, "batch_stats": stats},
                        jnp.array(x), train=False)
         np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+class TestExport:
+    """flax -> reference .pth direction (compat.torch_export): checkpoints
+    trained HERE must load into reference-layout torch modules strict=True
+    and produce the same outputs."""
+
+    def _init_generator(self, cfg, rng):
+        G = Generator(cfg)
+        x = jnp.array(rng.standard_normal((2, cfg.np, 3)), jnp.float32)
+        z = jnp.zeros((2, cfg.np, cfg.nz), jnp.float32)
+        v = G.init(jax.random.PRNGKey(3), x, z, train=False)
+        return G, v["params"], v["batch_stats"]
+
+    def test_generator_roundtrip_identity(self, cfg, rng):
+        # export -> import must reproduce the exact flax trees
+        _, params, stats = self._init_generator(cfg, rng)
+        sd = export_generator(jax.tree.map(np.asarray, params),
+                              jax.tree.map(np.asarray, stats), cfg)
+        params2, stats2 = convert_generator(sd, cfg)
+        for a, b in zip(jax.tree.leaves((params, stats)),
+                        jax.tree.leaves((params2, stats2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_generator_export_loads_into_torch_strict(self, cfg, rng):
+        G, params, stats = self._init_generator(cfg, rng)
+        sd = export_generator(jax.tree.map(np.asarray, params),
+                              jax.tree.map(np.asarray, stats), cfg)
+        tg = TGenerator(cfg.nz, cfg.k)
+        tg.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}, strict=True)
+        tg.eval()
+        x = rng.standard_normal((2, cfg.np, 3)).astype(np.float32)
+        z = (0.2 * rng.standard_normal((2, 1, cfg.nz))).astype(np.float32)
+        z = np.broadcast_to(z, (2, cfg.np, cfg.nz)).copy()
+        ours = G.apply({"params": params, "batch_stats": stats},
+                       jnp.array(x), jnp.array(z), train=False)
+        with torch.no_grad():
+            ref = tg(torch.tensor(x), torch.tensor(z)).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref.transpose(0, 2, 1),
+                                   atol=2e-4)
+
+    def test_discriminator_roundtrip_and_torch_load(self, cfg, rng):
+        D = Discriminator(cfg)
+        x = jnp.array(rng.standard_normal((2, cfg.np, 3)), jnp.float32)
+        v = D.init(jax.random.PRNGKey(4), x, train=False)
+        params = jax.tree.map(np.asarray, v["params"])
+        stats = jax.tree.map(np.asarray, v["batch_stats"])
+        sd = export_discriminator(params, stats, cfg)
+        params2, stats2 = convert_discriminator(sd, cfg)
+        for a, b in zip(jax.tree.leaves((params, stats)),
+                        jax.tree.leaves((params2, stats2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        td = TDiscriminator()
+        td.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}, strict=True)
+        td.eval()
+        xs = rng.standard_normal((2, cfg.np, 3)).astype(np.float32)
+        ours = D.apply({"params": v["params"], "batch_stats":
+                        v["batch_stats"]}, jnp.array(xs), train=False)
+        with torch.no_grad():
+            ref = td(torch.tensor(xs).transpose(2, 1)).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+    def test_save_reference_checkpoint_file(self, cfg, rng, tmp_path):
+        from sp_gan_tpu.compat import (load_reference_checkpoint,
+                                       save_reference_checkpoint)
+        _, params, stats = self._init_generator(cfg, rng)
+        gp = str(tmp_path / "G.pth")
+        save_reference_checkpoint(
+            gp, jax.tree.map(np.asarray, params),
+            jax.tree.map(np.asarray, stats), cfg, epoch=7)
+        (params2, stats2), _, epoch = load_reference_checkpoint(gp, cfg)
+        assert epoch == 7
+        for a, b in zip(jax.tree.leaves((params, stats)),
+                        jax.tree.leaves((params2, stats2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
