@@ -102,7 +102,14 @@ def main():
             except Exception:
                 pass
         if blob is not None:
-            fpd = FPD(variables=blob)
+            # honor the hyperparams stored with the extractor (pickles
+            # written by scripts/train_fpd_dgcnn.py carry k/feat_dims; a
+            # mismatched kNN graph gives wrong-but-plausible FPD)
+            fpd = FPD(variables={k: blob[k]
+                                 for k in ("params", "batch_stats")
+                                 if k in blob},
+                      k=int(blob.get("k", 40)),
+                      feat_dims=int(blob.get("feat_dims", 1024)))
             metrics["FPD_note"] = ("locally-trained DGCNN extractor — not "
                                    "comparable to the reference's ShapeNet "
                                    "FPD")

@@ -120,7 +120,11 @@ def main():
                   flush=True)
 
     feat_vars = {"params": params["feat"],
-                 "batch_stats": batch_stats["feat"]}
+                 "batch_stats": batch_stats["feat"],
+                 # extractor hyperparams travel with the weights so loaders
+                 # (evaluate.py, Trainer._inloop_fpd) rebuild the exact kNN
+                 # graph/width instead of assuming defaults
+                 "k": args.k, "feat_dims": 1024}
     with open(args.out, "wb") as f:
         pickle.dump(feat_vars, f)
     print(json.dumps({"saved": args.out}), flush=True)

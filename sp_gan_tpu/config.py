@@ -168,6 +168,20 @@ class Config:
     eval_size: int = 64                # clouds per side for in-loop eval
     eval_emd: bool = False             # include EMD metrics in in-loop eval
                                        # (auction solves; much more expensive)
+    fpd_weights: Optional[str] = None  # flax-variables pickle of a trained
+                                       # DGCNN extractor: adds an FPD column
+                                       # to the in-loop eval (reference's FPD
+                                       # is final-eval-only,
+                                       # Common/GAN_metrics.py:537 — this
+                                       # catches e.g. multi-class dropout
+                                       # live during training)
+    fpd_stats: Optional[str] = None    # npz with mu/sigma reference
+                                       # activation statistics (reference
+                                       # --FPD_path); when unset the in-loop
+                                       # FPD uses the eval reference draw
+    track_best: bool = True            # maintain ckpt_best.pkl at the best
+                                       # in-loop EMA MMD-CD seen (+ best.json
+                                       # sidecar); survives restarts
 
     def __post_init__(self):
         if self.bn_stats not in ("global", "per_shard"):

@@ -31,11 +31,16 @@ CKPT_PREFIX = "ckpt_epoch_"
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
-                    cfg: Optional[Config] = None) -> str:
+                    cfg: Optional[Config] = None,
+                    filename: Optional[str] = None) -> str:
+    """Snapshot the full TrainState. `filename` overrides the default
+    `ckpt_epoch_{epoch}.pkl` name — used for the rolling `ckpt_best.pkl`
+    (best in-loop EMA MMD-CD; the reference keeps only periodic epoch
+    snapshots, model.py:505-528, so its best-mid-run weights are lost)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     state_dict = serialization.to_state_dict(state)
     state_np = jax.tree.map(lambda x: np.asarray(x), state_dict)
-    path = os.path.join(ckpt_dir, f"{CKPT_PREFIX}{epoch}.pkl")
+    path = os.path.join(ckpt_dir, filename or f"{CKPT_PREFIX}{epoch}.pkl")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump({"state": state_np, "epoch": epoch}, f,

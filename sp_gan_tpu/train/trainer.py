@@ -140,6 +140,21 @@ class Trainer:
         self.fix_z = sample_z(jax.random.PRNGKey(cfg.seed + 1), 64, cfg.np,
                               cfg.nz, cfg.nv, cfg.n_rand)
 
+        # best-checkpoint tracking (ckpt_best.pkl at the lowest in-loop EMA
+        # MMD-CD): the in-loop curves routinely peak mid-run (e.g. r3b EMA
+        # MMD-CD 0.00931 @112k vs 0.00962 at the endpoint), and the
+        # reference's periodic-snapshot-only scheme loses those weights.
+        # best.json persists the incumbent across watchdog restarts.
+        self._best = {"value": float("inf")}
+        best_path = os.path.join(cfg.log_dir, "best.json")
+        if cfg.restore and os.path.exists(best_path):
+            import json
+            with open(best_path) as f:
+                self._best = json.load(f)
+            self.log(f"[*] best-so-far {self._best.get('metric', 'MMD-CD')}="
+                     f"{self._best['value']:.5f} "
+                     f"(epoch {self._best.get('epoch')})")
+
         self._augment = jax.jit(
             lambda key, pc: augment_batch(key, pc, True)) if cfg.augment else None
 
@@ -249,6 +264,8 @@ class Trainer:
             m = {"MMD-CD": mmd(gt), "COV-CD": coverage(gt),
                  "1NN-CD": knn_two_sample(gg, gt, self._eval_tt),
                  "JSD": jsd(0.5 * gen, 0.5 * ref, warn=False)}
+            if cfg.fpd_weights:
+                m["FPD"] = self._inloop_fpd(gen)
             if cfg.eval_emd:
                 # train-regime auction (eps=0.005/50, early-terminating):
                 # a monitoring-grade EMD at interactive cost; report final
@@ -265,7 +282,64 @@ class Trainer:
                      + " ".join(f"{k}={v:.5f}" for k, v in m.items()))
         with open(os.path.join(cfg.log_dir, "eval.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
+
+        # rolling best checkpoint on the EMA (falling back to raw) MMD-CD
+        if cfg.track_best:
+            variant = "ema" if cfg.ema else "raw"
+            v = float(record[variant]["MMD-CD"])
+            if v < self._best.get("value", float("inf")):
+                self._best = {"metric": "MMD-CD", "variant": variant,
+                              "value": v, "epoch": epoch,
+                              "step": global_step}
+                save_checkpoint(cfg.log_dir, self.state, epoch, cfg,
+                                filename="ckpt_best.pkl")
+                tmp = os.path.join(cfg.log_dir, "best.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(self._best, f)
+                os.replace(tmp, os.path.join(cfg.log_dir, "best.json"))
+                self.log(f"[best] new best {variant} MMD-CD={v:.5f} "
+                         f"-> ckpt_best.pkl (epoch {epoch})")
         return record
+
+    # ------------------------------------------------------------------
+    def _inloop_fpd(self, gen_normalized: np.ndarray) -> float:
+        """FPD column for the in-loop eval: activations of the already-
+        normalized generated clouds through the trained DGCNN extractor
+        (`cfg.fpd_weights`), against `cfg.fpd_stats` when given or the
+        eval reference draw otherwise. One ~N-sample activation pass —
+        cheap next to the CD matrices. Synthetic-family extractors give
+        synthetic-family-only numbers (see docs/MODEL_ZOO.md); the
+        reference computes FPD only at final eval
+        (Common/GAN_metrics.py:537)."""
+        if not hasattr(self, "_fpd"):
+            import pickle
+
+            from sp_gan_tpu.eval.fpd import FPD
+            with open(self.cfg.fpd_weights, "rb") as f:
+                blob = pickle.load(f)
+            # extractor hyperparams travel with the pickle (k/feat_dims
+            # written by scripts/train_fpd_dgcnn.py; default-k fallback
+            # for pre-meta pickles)
+            self._fpd = FPD(variables={k: blob[k]
+                                       for k in ("params", "batch_stats")
+                                       if k in blob},
+                            k=int(blob.get("k", 40)),
+                            feat_dims=int(blob.get("feat_dims", 1024)))
+            self._fpd_ref_stats = None
+            if not self.cfg.fpd_stats:
+                from sp_gan_tpu.eval.fpd import activation_statistics
+                self._fpd_ref_stats = activation_statistics(
+                    self._fpd.activations(self._eval_ref))
+        from sp_gan_tpu.eval.fpd import (
+            activation_statistics,
+            frechet_distance,
+        )
+        mu1, s1 = activation_statistics(self._fpd.activations(gen_normalized))
+        if self._fpd_ref_stats is None:
+            blob = np.load(self.cfg.fpd_stats)
+            self._fpd_ref_stats = (blob["mu"], blob["sigma"])
+        mu2, s2 = self._fpd_ref_stats
+        return frechet_distance(mu1, s1, mu2, s2)
 
     # ------------------------------------------------------------------
     def _batch_sharding(self):

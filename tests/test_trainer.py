@@ -148,6 +148,59 @@ class TestInLoopEval:
         assert "ema" in rec and "raw" in rec
         assert np.isfinite(rec["ema"]["MMD-CD"])
 
+    def test_best_checkpoint_tracking(self, tmp_path):
+        """ckpt_best.pkl + best.json track the lowest in-loop MMD-CD and
+        survive a restart (the incumbent is not re-beaten by a worse
+        later eval)."""
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=2, snapshot=2,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     eval_every=1, eval_size=6, ema=True)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        tr.train()
+        best_ckpt = os.path.join(cfg.log_dir, "ckpt_best.pkl")
+        best_json = os.path.join(cfg.log_dir, "best.json")
+        assert os.path.exists(best_ckpt) and os.path.exists(best_json)
+        best = json.load(open(best_json))
+        assert best["metric"] == "MMD-CD" and best["variant"] == "ema"
+        records = [json.loads(l) for l in open(
+            os.path.join(cfg.log_dir, "eval.jsonl"))]
+        assert best["value"] == pytest.approx(
+            min(r["ema"]["MMD-CD"] for r in records))
+        # the best checkpoint is loadable like any other
+        from sp_gan_tpu.train.checkpoint import load_checkpoint
+        state2, epoch = load_checkpoint(best_ckpt, tr.state)
+        assert epoch == best["epoch"]
+        # restart restores the incumbent: a fresh Trainer with --restore
+        # must not immediately overwrite best.json with a worse value
+        tr2 = Trainer(cfg.replace(restore=True),
+                      dataset=SyntheticDataset(n_items=8, n_points=32))
+        assert tr2._best["value"] == pytest.approx(best["value"])
+
+    def test_inloop_fpd_column(self, tmp_path):
+        """cfg.fpd_weights adds a finite FPD column to eval.jsonl, built
+        with the k/feat_dims stored in the extractor pickle."""
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+        from sp_gan_tpu.eval.dgcnn import DGCNNFeat
+
+        model = DGCNNFeat(k=6, feat_dims=32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 3)))
+        wpath = str(tmp_path / "fpd.pkl")
+        with open(wpath, "wb") as f:
+            pickle.dump({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"],
+                         "k": 6, "feat_dims": 32}, f)
+        cfg = Config(np=32, bs=4, nk=8, nz=16, max_epoch=1, snapshot=1,
+                     log_dir=str(tmp_path / "run"), donate_state=False,
+                     eval_every=1, eval_size=6, fpd_weights=wpath)
+        tr = Trainer(cfg, dataset=SyntheticDataset(n_items=8, n_points=32))
+        rec = tr.evaluate(1, 1)
+        assert np.isfinite(rec["raw"]["FPD"])
+        assert tr._fpd.model.k == 6 and tr._fpd.model.feat_dims == 32
+
 
 class TestWarmStart:
     def test_pretrain_model_g_d_warm_start(self, tmp_path):
