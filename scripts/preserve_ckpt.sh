@@ -37,6 +37,22 @@ while :; do
                 echo "[preserve] copy failed for $src, will retry" >&2
             fi
         fi
+        # rolling best checkpoint (Trainer.track_best): preserve whenever
+        # best.json advances — losing the peak is exactly the failure the
+        # zoo's best-vs-final rows exist to prevent
+        best="$dir/ckpt_best.pkl"
+        bmark="runs/keep/${name}_best.src"
+        if [ -f "$best" ] && [ -f "$dir/best.json" ]; then
+            sig=$(cat "$dir/best.json")
+            if [ ! -f "$bmark" ] || [ "$(cat "$bmark")" != "$sig" ]; then
+                if cp "$best" "runs/keep/${name}_best.pkl.tmp" &&
+                   mv "runs/keep/${name}_best.pkl.tmp" "runs/keep/${name}_best.pkl"; then
+                    cp "$dir/best.json" "runs/keep/${name}_best.json"
+                    echo "$sig" > "$bmark"
+                    changed=1
+                fi
+            fi
+        fi
     done
     # re-arm the commit retry if a previous cycle's snapshot is still
     # uncommitted (e.g. both git attempts lost to index-lock contention)

@@ -265,7 +265,14 @@ class Trainer:
                  "1NN-CD": knn_two_sample(gg, gt, self._eval_tt),
                  "JSD": jsd(0.5 * gen, 0.5 * ref, warn=False)}
             if cfg.fpd_weights:
-                m["FPD"] = self._inloop_fpd(gen)
+                # never let a numerically-degenerate sqrtm (few-sample
+                # high-dim covariances can go complex) kill a multi-hour
+                # campaign: the FPD column is monitoring, not control flow
+                try:
+                    m["FPD"] = self._inloop_fpd(gen)
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"[eval] in-loop FPD failed: {e!r}")
+                    m["FPD"] = float("nan")
             if cfg.eval_emd:
                 # train-regime auction (eps=0.005/50, early-terminating):
                 # a monitoring-grade EMD at interactive cost; report final
