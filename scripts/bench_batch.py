@@ -34,7 +34,8 @@ def bare_step(bs, n, iters):
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+    # host fetch, not block_until_ready: the audited relay-safe sync
+    float(m["d_loss"])
     dt = (time.perf_counter() - t0) / iters
     return 1.0 / dt
 

@@ -44,7 +44,8 @@ def time_step(cfg_kwargs, iters=20, bs=24, n=2048):
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+    # host fetch, not block_until_ready: the audited relay-safe sync
+    float(m["d_loss"])
     dt = (time.perf_counter() - t0) / iters
     metrics = {k: float(v) for k, v in m.items()}
     return dt * 1e3, compile_s, metrics

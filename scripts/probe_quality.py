@@ -44,12 +44,19 @@ def probe(variant: str, steps: int, seed: int = 0):
     data_dev = jax.device_put(jnp.asarray(data))
     rng = np.random.default_rng(seed)
 
+    # relay-safe timing (see memory/axon-relay-timing + BASELINE.md r4
+    # measurement note): warm up past the compile, time a chained-state
+    # loop with DISTINCT inputs, and sync via a HOST FETCH of the last
+    # result — block_until_ready alone can return before relayed
+    # dispatches execute
+    idx = rng.integers(0, len(data), BS)
+    state, m = step(state, jnp.take(data_dev, jnp.asarray(idx), axis=0))
+    np.asarray(m["d_loss"])
     t0 = time.perf_counter()
-    m = None
     for s in range(steps):
         idx = rng.integers(0, len(data), BS)
         state, m = step(state, jnp.take(data_dev, jnp.asarray(idx), axis=0))
-    jax.block_until_ready(m)
+    np.asarray(m["d_loss"])
     dt = time.perf_counter() - t0
 
     sample = make_sample_fn(cfg, G, sphere)
