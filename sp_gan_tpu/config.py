@@ -182,11 +182,24 @@ class Config:
     track_best: bool = True            # maintain ckpt_best.pkl at the best
                                        # in-loop EMA MMD-CD seen (+ best.json
                                        # sidecar); survives restarts
+    knn_mode: str = "exact"            # "exact" (reference parity contract,
+                                       # modules.py:694-703) | "approx":
+                                       # banded feature-kNN for EdgeConv2 —
+                                       # index-window candidate pruning that
+                                       # rides the fibonacci template's
+                                       # spiral locality (ops/approx_knn.py;
+                                       # measured 99.9% neighbor recall at
+                                       # the trained N=8192 checkpoint).
+                                       # For large-N training only.
+    knn_window: int = 512              # one-sided index radius for approx
 
     def __post_init__(self):
         if self.bn_stats not in ("global", "per_shard"):
             raise ValueError(f"bn_stats must be global|per_shard, "
                              f"got {self.bn_stats!r}")
+        if self.knn_mode not in ("exact", "approx"):
+            raise ValueError(f"knn_mode must be exact|approx, "
+                             f"got {self.knn_mode!r}")
         allowed = ("mixed_edge", "float32", "bfloat16", "bfloat16_g",
                    "bfloat16_d", "bfloat16_tail32")
         if self.dtype not in allowed:

@@ -147,7 +147,20 @@ class Generator(nn.Module):
         x1 = AdaptivePointNorm(c1_out, name="adain1",
                                points_axis=cfg.points_axis)(x1, style)
 
-        x2 = EB(c1_out, dim, k, name="edge2")(x1, train)
+        idx2 = None
+        if cfg.knn_mode == "approx" and cfg.points_axis is None \
+                and N >= 512 and not self.is_initializing():
+            # banded feature-kNN (ops/approx_knn.py): EdgeConv2's neighbor
+            # selection restricted to the template's spiral index window —
+            # O(N*W) instead of O(N^2), 99.9% neighbor recall measured at
+            # the trained N=8192 checkpoint (runs/probe_approx_knn.jsonl).
+            # Selection stays f32 and self-excluded like the exact path;
+            # opt-in via --knn_mode approx (exact = parity contract).
+            from sp_gan_tpu.ops.approx_knn import knn_indices_window
+            idx2 = knn_indices_window(
+                x1.astype(jnp.float32), k,
+                window=min(cfg.knn_window, (N - 256) // 2))
+        x2 = EB(c1_out, dim, k, name="edge2")(x1, train, idx2)
         x2 = nn.leaky_relu(x2, NEG2)
         x2 = AdaptivePointNorm(dim, name="adain2",
                                points_axis=cfg.points_axis)(x2, style)

@@ -1,0 +1,116 @@
+"""Approximate (banded / candidate-pruned) kNN selection — ops/approx_knn.py.
+
+Exactness contract: with full coverage both pruned selections reduce to the
+exact reference semantics (squared-L2, self excluded); restricted, they only
+ever select inside their candidate sets. Recall on REAL trained features is
+measured by scripts/probe_approx_knn.py (99.9% at the N=8192 checkpoint);
+these tests pin the mechanics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sp_gan_tpu.config import Config
+from sp_gan_tpu.ops.approx_knn import (knn_indices_candidates,
+                                       knn_indices_window,
+                                       template_candidates)
+from sp_gan_tpu.ops.pairwise import knn_indices
+
+
+class TestWindow:
+    def test_full_coverage_matches_exact(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32))
+        exact = np.sort(np.asarray(knn_indices(x, 5)), axis=-1)
+        w = np.sort(np.asarray(knn_indices_window(x, 5, window=28, block=8)),
+                    axis=-1)
+        np.testing.assert_array_equal(exact, w)
+
+    def test_restricted_window_stays_in_band(self, rng):
+        N, W, Q = 64, 6, 8
+        x = jnp.asarray(rng.standard_normal((2, N, 8)).astype(np.float32))
+        idx = np.asarray(knn_indices_window(x, 5, window=W, block=Q))
+        off = (idx - np.arange(N)[None, :, None]) % N
+        off = np.minimum(off, N - off)
+        # block formulation: at least +-W, at most W + block - 1 one-sided
+        assert off.max() <= W + Q - 1
+        # self never selected
+        assert (idx != np.arange(N)[None, :, None]).all()
+
+    def test_smooth_features_high_recall(self):
+        """Features that are smooth over the fibonacci template (the
+        EdgeConv2 situation) are recovered by a modest window."""
+        from sp_gan_tpu.data import sphere_template
+        t = sphere_template(512)
+        # smooth nonlinear lift of template position
+        feats = np.concatenate([np.sin(3 * t), np.cos(2 * t), t ** 2], -1)
+        x = jnp.asarray(feats[None].astype(np.float32))
+        exact = np.asarray(knn_indices(x, 8))
+        approx = np.asarray(knn_indices_window(x, 8, window=64, block=128))
+        hit = np.mean([len(np.intersect1d(exact[0, i], approx[0, i])) / 8
+                       for i in range(512)])
+        assert hit > 0.97, hit
+
+
+class TestCandidates:
+    def test_full_candidates_match_exact(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32))
+        cand = jnp.asarray(np.stack(
+            [np.delete(np.arange(64), i) for i in range(64)]).astype(np.int32))
+        exact = np.sort(np.asarray(knn_indices(x, 5)), axis=-1)
+        c = np.sort(np.asarray(knn_indices_candidates(x, 5, cand, block=16)),
+                    axis=-1)
+        np.testing.assert_array_equal(exact, c)
+
+    def test_selection_subset_of_candidates(self, rng):
+        from sp_gan_tpu.data import sphere_template
+        t = sphere_template(128)
+        cand = np.asarray(template_candidates(t, 16))
+        assert cand.shape == (128, 16)
+        assert (cand != np.arange(128)[:, None]).all()   # self excluded
+        x = jnp.asarray(rng.standard_normal((2, 128, 8)).astype(np.float32))
+        idx = np.asarray(knn_indices_candidates(x, 4, jnp.asarray(cand),
+                                                block=32))
+        for i in range(128):
+            assert np.isin(idx[:, i], cand[i]).all()
+
+
+class TestGeneratorIntegration:
+    def test_forward_runs_and_config_validates(self, rng):
+        from sp_gan_tpu.nn import Generator
+        with pytest.raises(ValueError):
+            Config(knn_mode="banana")
+        cfg = Config(np=512, nk=8, nz=16, dtype="float32",
+                     knn_mode="approx", knn_window=64)
+        G = Generator(cfg)
+        x = jnp.asarray(rng.standard_normal((2, 512, 3)), jnp.float32)
+        z = jnp.zeros((2, 512, 16), jnp.float32)
+        v = G.init(jax.random.PRNGKey(0), x, z, train=False)
+        out = G.apply(v, x, z, train=False)
+        assert out.shape == (2, 512, 3) and np.isfinite(np.asarray(out)).all()
+        # param tree identical to the exact config: approx changes only the
+        # neighbor selection, so checkpoints are interchangeable
+        v2 = Generator(cfg.replace(knn_mode="exact")).init(
+            jax.random.PRNGKey(0), x, z, train=False)
+        assert jax.tree.structure(v) == jax.tree.structure(v2)
+
+    def test_train_step_grads_flow(self, rng):
+        """One fused G+D step under knn_mode=approx: finite losses, params
+        move (selection is stop-gradiented; everything else differentiates
+        through the gathered edges)."""
+        from sp_gan_tpu.data import SyntheticDataset, sphere_template
+        from sp_gan_tpu.train import create_train_state, make_train_step
+        cfg = Config(np=512, bs=2, nk=8, nz=16, dtype="float32",
+                     knn_mode="approx", knn_window=64, donate_state=False)
+        state, G, D, g_tx, d_tx = create_train_state(cfg,
+                                                     jax.random.PRNGKey(0))
+        step = make_train_step(cfg, G, D, g_tx, d_tx,
+                               jnp.asarray(sphere_template(cfg.np)))
+        batch = jnp.asarray(SyntheticDataset(n_items=2, n_points=512).data)
+        before = jax.tree.leaves(state.g_params)[0].copy()
+        state2, m = step(state, batch)
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_loss"]))
+        assert not np.allclose(before, jax.tree.leaves(state2.g_params)[0])
