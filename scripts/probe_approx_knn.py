@@ -122,7 +122,7 @@ def stage_steps(args):
     from sp_gan_tpu.data import SyntheticDataset, sphere_template
     from sp_gan_tpu.train import create_train_state, make_train_step
 
-    BS, N = 4, 8192
+    BS, N = args.bs, args.N
     data = SyntheticDataset(n_items=64, n_points=N).data
     rng = np.random.default_rng(0)
 
@@ -150,6 +150,33 @@ def stage_steps(args):
                "points_per_sec": round(BS * N / dt),
                "ms_per_step": round(dt * 1e3, 1),
                "final": {k: float(v) for k, v in m.items()}}
+        if args.probe_steps:
+            # short-train quality probe (same program -> no new compile):
+            # MMD-CD of 48 samples vs 48 held-out clouds after probe_steps
+            from sp_gan_tpu.data.augment import normalize_point_cloud
+            from sp_gan_tpu.data.noise import sample_z
+            from sp_gan_tpu.eval.metrics import pairwise_cd_matrix
+            from sp_gan_tpu.train.step import make_sample_fn
+            for _ in range(args.probe_steps - args.iters - 1):
+                idx = rng.integers(0, len(data), BS)
+                state, m = step(state, jnp.take(data_dev, jnp.asarray(idx),
+                                                axis=0))
+            float(m["d_loss"])
+            sample = make_sample_fn(cfg, G, jnp.asarray(sphere_template(N)),
+                                    use_ema=cfg.ema)
+            outs = []
+            key = jax.random.PRNGKey(99)
+            for lo in range(0, 48, BS):
+                key, kz = jax.random.split(key)
+                zb = sample_z(kz, BS, N, cfg.nz, cfg.nv, cfg.n_rand)
+                outs.append(np.asarray(sample(state, zb)))
+            gen = np.asarray(normalize_point_cloud(np.concatenate(outs)))
+            ref = np.asarray(normalize_point_cloud(
+                SyntheticDataset(n_items=48, n_points=N, seed=7).data))
+            gt = np.asarray(pairwise_cd_matrix(jnp.asarray(gen),
+                                               jnp.asarray(ref)))
+            rec["probe_steps"] = args.probe_steps
+            rec["probe_mmd_cd"] = float(gt.min(axis=0).mean())
         results.append(rec)
         print(rec, flush=True)
     with open(args.out, "a") as f:
@@ -166,6 +193,10 @@ def main():
     p.add_argument("--cands", type=int, nargs="+", default=[64, 128, 256])
     p.add_argument("--windows", type=int, nargs="+", default=[128, 256, 512])
     p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--N", type=int, default=8192)
+    p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--probe_steps", type=int, default=0,
+                   help="continue to this many total steps, then MMD-CD")
     p.add_argument("--modes", default="exact,approx")
     p.add_argument("--out", default="runs/probe_approx_knn.jsonl")
     args = p.parse_args()

@@ -30,7 +30,15 @@ FINAL=${FINAL:-10000}
 if [ -f /tmp/campaign_horizon.pid ]; then
     while kill -0 "$(cat /tmp/campaign_horizon.pid)" 2>/dev/null; do sleep 60; done
 fi
+# newest snapshot epoch (for crash-loop detection)
+newest_epoch() {
+    ls "$DIR"/ckpt_epoch_*.pkl 2>/dev/null \
+        | sed 's/.*ckpt_epoch_\([0-9]*\)\.pkl/\1/' | sort -n | tail -1
+}
+
 if [ ! -f "$DIR/ckpt_epoch_${FINAL}.pkl" ]; then
+    last_ep=$(newest_epoch); last_ep=${last_ep:-0}
+    stuck=0
     while :; do
         python scripts/campaign.py --log_dir "$DIR" --restore \
             --max_epoch "$FINAL" --lr_decay --lr_decay_feq 1000 \
@@ -38,8 +46,18 @@ if [ ! -f "$DIR/ckpt_epoch_${FINAL}.pkl" ]; then
         echo $! > /tmp/campaign_horizon.pid
         wait "$(cat /tmp/campaign_horizon.pid)"
         rc=$?
-        [ "$rc" -ne 42 ] && break
-        echo "[horizon] watchdog restart (rc=42)" >&2
+        [ "$rc" -eq 0 ] && break
+        # restart on ANY failure (watchdog 42, SIGKILL from a dying parent
+        # session, transient backend outage) as long as checkpoints advance;
+        # two consecutive restarts with zero progress = real crash, stop.
+        cur_ep=$(newest_epoch); cur_ep=${cur_ep:-0}
+        if [ "$cur_ep" -gt "$last_ep" ]; then stuck=0; else stuck=$((stuck+1)); fi
+        last_ep=$cur_ep
+        if [ "$stuck" -ge 2 ]; then
+            echo "[horizon] no progress across 2 restarts (rc=$rc, epoch=$cur_ep) — giving up" >&2
+            break
+        fi
+        echo "[horizon] restart (rc=$rc, epoch=$cur_ep)" >&2
         sleep 30
     done
     [ -f "$DIR/ckpt_epoch_${FINAL}.pkl" ] \
