@@ -252,6 +252,24 @@ class TestExport:
                         jax.tree.leaves((params2, stats2))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("flag", ["eql", "attn", "use_head"])
+    def test_generator_roundtrip_identity_variants(self, flag, rng):
+        # exercise the eql weight_orig, attn, and pc_head export branches
+        # (ADVICE r4: default-cfg-only tests let a wrong transpose there
+        # silently corrupt exported .pth for those configs); the import
+        # side already supports all three, so roundtrip needs no torch
+        # modules — tree-exact equality is the contract.
+        vcfg = Config(np=32, nk=8, nz=16, dtype="float32", **{flag: True})
+        _, params, stats = self._init_generator(vcfg, rng)
+        sd = export_generator(jax.tree.map(np.asarray, params),
+                              jax.tree.map(np.asarray, stats), vcfg)
+        params2, stats2 = convert_generator(sd, vcfg)
+        la, lb = (jax.tree.leaves((params, stats)),
+                  jax.tree.leaves((params2, stats2)))
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_generator_export_loads_into_torch_strict(self, cfg, rng):
         G, params, stats = self._init_generator(cfg, rng)
         sd = export_generator(jax.tree.map(np.asarray, params),
