@@ -69,6 +69,52 @@ def main():
                                - oracle[..., 64:].astype(jnp.float32)))
         check(f"knn_edge diff {dt}", bool(drel < tol))
 
+    # banded (windowed) fused kNN+gather — the --knn_mode approx kernel
+    from sp_gan_tpu.ops.approx_knn import knn_indices_window
+    from sp_gan_tpu.ops.pallas.knn import knn_edge_window_pallas
+    x = jax.random.normal(key, (4, 2048, 64))
+    W = 256
+    idx_ref = knn_indices_window(x, 10, window=W)
+    ee_ref = ef(x, 10, idx=idx_ref)
+    eew, idxw = knn_edge_window_pallas(x, 10, W, "float32")
+    check("knn_edge_window idx exact",
+          bool(jnp.mean((idxw == idx_ref).astype(jnp.float32)) > 0.999))
+    rel = jnp.max(jnp.abs(eew - ee_ref))
+    check("knn_edge_window ee", bool(rel < 1e-4))
+    # packed selection: sets may differ from exact by near-tie swaps inside
+    # a quantization bucket (2^bits ulps; bits = ceil(log2 wtot)). Verify
+    # the CONTRACT — every swapped-in neighbor's distance is within the
+    # bucket of the swapped-out one — not raw agreement (a 0.999 agreement
+    # threshold mis-fails legitimate bucket ties; audited 2026-08-19:
+    # 0.44% rows swap, max relative gap 7.8e-5 vs bound 2.4e-4).
+    _, idxp = knn_edge_window_pallas(x, 10, W, "float32",
+                                     select_mode="packed")
+    xn = np.asarray(x, np.float64)
+    dfull = ((xn ** 2).sum(-1)[:, :, None]
+             - 2 * np.einsum("bnc,bmc->bnm", xn, xn)
+             + (xn ** 2).sum(-1)[:, None, :])
+    bits = max((256 + 2 * W - 1).bit_length(), 1)
+    bound = 2.0 ** (bits - 23) * 2
+    ip, ir = np.asarray(idxp), np.asarray(idx_ref)
+    max_rel = 0.0
+    for b in range(ip.shape[0]):
+        for r in range(ip.shape[1]):
+            added = sorted(set(ip[b, r]) - set(ir[b, r]))
+            dropped = sorted(set(ir[b, r]) - set(ip[b, r]))
+            for a_, d_ in zip(sorted(dfull[b, r, added]),
+                              sorted(dfull[b, r, dropped])):
+                max_rel = max(max_rel, abs(a_ - d_) / max(d_, 1e-9))
+    check(f"knn_edge_window idx packed (max swap gap {max_rel:.1e})",
+          max_rel <= bound)
+    deew, didxw = knn_edge_window_pallas(x, 10, W, "bfloat16",
+                                         diff_only=True)
+    check("knn_edge_window diff idx bf16",
+          bool(jnp.mean((didxw == idx_ref).astype(jnp.float32)) > 0.999))
+    oracle_w = ef(x.astype(jnp.bfloat16), 10, idx=idx_ref)
+    drel = jnp.max(jnp.abs(deew.astype(jnp.float32)
+                           - oracle_w[..., 64:].astype(jnp.float32)))
+    check("knn_edge_window diff bf16", bool(drel < 1e-2))
+
     # blocked large-N kNN
     xb = jax.random.normal(key, (2, 16384, 3))
     ib, db = knn_pallas_blocked(xb, 10)

@@ -36,9 +36,12 @@ def main():
     if epochs and epochs[-1] not in picked:
         picked.append(epochs[-1])
 
+    has_fpd = any(("ema" in recs[e] and "FPD" in recs[e]["ema"])
+                  or "FPD" in recs[e].get("raw", {}) for e in epochs)
+    fpd_head = " FPD (ema/raw) |" if has_fpd else ""
     print("| step | MMD-CD (ema/raw) | COV-CD (ema/raw) | "
-          "1NN-CD (ema/raw) | JSD (ema/raw) |")
-    print("|---|---|---|---|---|")
+          "1NN-CD (ema/raw) | JSD (ema/raw) |" + fpd_head)
+    print("|---|---|---|---|---|" + ("---|" if has_fpd else ""))
     for e in picked:
         r = recs[e]
         ema, raw = r.get("ema"), r.get("raw")
@@ -47,10 +50,14 @@ def main():
         step = e * args.steps_per_epoch
 
         def pair(key, fmt):
+            if key not in ema:
+                return "- / -"
             return f"{ema[key]:{fmt}} / {raw[key]:{fmt}}"
 
+        fpd_col = f" {pair('FPD', '.1f')} |" if has_fpd else ""
         print(f"| {step} | {pair('MMD-CD', '.5f')} | {pair('COV-CD', '.3f')}"
-              f" | {pair('1NN-CD', '.3f')} | {pair('JSD', '.4f')} |")
+              f" | {pair('1NN-CD', '.3f')} | {pair('JSD', '.4f')} |"
+              + fpd_col)
 
     # summary: best snapshot per metric (ema), for checkpoint selection
     def best(key, lo_good=True, dist_to=None):

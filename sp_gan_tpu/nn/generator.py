@@ -147,20 +147,21 @@ class Generator(nn.Module):
         x1 = AdaptivePointNorm(c1_out, name="adain1",
                                points_axis=cfg.points_axis)(x1, style)
 
-        idx2 = None
+        win2 = None
         if cfg.knn_mode == "approx" and cfg.points_axis is None \
-                and N >= 512 and not self.is_initializing():
-            # banded feature-kNN (ops/approx_knn.py): EdgeConv2's neighbor
-            # selection restricted to the template's spiral index window —
-            # O(N*W) instead of O(N^2), 99.9% neighbor recall measured at
+                and not self.is_initializing():
+            # (edge_diff_features clamps the band to N and falls back to
+            # exact when it would be degenerate — tiny-N runs are safe)
+            # banded feature-kNN: EdgeConv2's neighbor selection restricted
+            # to the template's spiral index band |i - j| <= knn_window —
+            # O(N*W) instead of O(N^2), ~99% neighbor recall measured at
             # the trained N=8192 checkpoint (runs/probe_approx_knn.jsonl).
-            # Selection stays f32 and self-excluded like the exact path;
-            # opt-in via --knn_mode approx (exact = parity contract).
-            from sp_gan_tpu.ops.approx_knn import knn_indices_window
-            idx2 = knn_indices_window(
-                x1.astype(jnp.float32), k,
-                window=min(cfg.knn_window, (N - 256) // 2))
-        x2 = EB(c1_out, dim, k, name="edge2")(x1, train, idx2)
+            # Runs as the banded twin of the fused kNN+gather kernel
+            # (ops/pallas/knn.py::knn_edge_window_pallas) so the one-hot
+            # MXU gather and f32 selection are preserved; opt-in via
+            # --knn_mode approx (exact = parity contract).
+            win2 = cfg.knn_window
+        x2 = EB(c1_out, dim, k, name="edge2")(x1, train, window=win2)
         x2 = nn.leaky_relu(x2, NEG2)
         x2 = AdaptivePointNorm(dim, name="adain2",
                                points_axis=cfg.points_axis)(x2, style)

@@ -362,14 +362,17 @@ class EdgeBlock(nn.Module):
                                           # BN stats (see SPBatchNorm)
 
     @nn.compact
-    def __call__(self, x, train: bool = True, idx=None, ee=None):
+    def __call__(self, x, train: bool = True, idx=None, ee=None,
+                 window=None):
         """`idx` [B,N,k] optionally supplies precomputed kNN indices, and
         `ee` [B,N,k,2C] a fully precomputed edge tensor — used for the
         generator's first EdgeConv, whose input is the *static* sphere
         template: its kNN graph AND its gathered edge features are
         run-constants (the reference recomputes both every forward,
         modules.py:694-703; XLA's runtime gather of them cost 4 ms/step
-        before hoisting)."""
+        before hoisting). `window` (with idx/ee None) restricts neighbor
+        selection to the circular index band |i - j| <= window — the
+        `--knn_mode approx` banded kernel (ops/approx_knn.py)."""
         B, N, C = x.shape
         assert C == self.fin
         out_dtype = x.dtype
@@ -393,12 +396,14 @@ class EdgeBlock(nn.Module):
             # the dispatch); only the big [B,N,k,*] edge tensors and their
             # convs run bf16
             if idx is None:
-                diff = edge_diff_features(x, self.k, out_dtype=jnp.bfloat16)
+                diff = edge_diff_features(x, self.k, out_dtype=jnp.bfloat16,
+                                          window=window)
             else:
                 diff = edge_diff_features(x.astype(jnp.bfloat16), self.k,
                                           idx=idx)
         else:
-            diff = edge_diff_features(x, self.k, idx=idx)    # [B, N, k, C]
+            diff = edge_diff_features(x, self.k, idx=idx,
+                                      window=window)        # [B, N, k, C]
         # named residual: the policy-remat path saves only this tensor and
         # recomputes the conv/BN/softmax chains in the backward (avoids both
         # re-running the kNN+gather and storing the chain intermediates)

@@ -66,7 +66,8 @@ def knn_indices_candidates(x: jax.Array, k: int, cand: jax.Array,
         xq = jax.lax.dynamic_slice(x, (0, b0, 0), (B, block, F))
         feats = jnp.take(x, rows.reshape(-1), axis=1).reshape(B, block, C, F)
         d = (jnp.sum(xq ** 2, -1)[..., None]
-             - 2.0 * jnp.einsum("bqf,bqcf->bqc", xq, feats)
+             - 2.0 * jnp.einsum("bqf,bqcf->bqc", xq, feats,
+                                precision=jax.lax.Precision.HIGHEST)
              + jnp.sum(feats ** 2, -1))                          # [B, Q, C]
         _, sel = jax.lax.top_k(-d, k)                            # [B, Q, k]
         return jnp.take_along_axis(
@@ -85,10 +86,10 @@ def knn_indices_window(x: jax.Array, k: int, window: int = 256,
     spiral — template neighbors sit at near-constant index offsets well
     inside +-window). Keys for a query block are one contiguous slice of a
     wrap-padded copy: no gathers, one [Q, Q+2W] x [F] matmul per block.
-    Block formulation: every query in a block shares the block's key slice
-    [b0-W, b0+block+W), so each query sees AT LEAST +-window and up to
-    `block` extra on one side (a superset — recall only improves; the
-    candidate set is deterministic for fixed window/block).
+    The candidate set is EXACTLY the circular +-window band per query
+    (positions outside it are masked), so results are independent of the
+    block size — the same contract as the fused TPU kernel
+    (`ops.pallas.knn.knn_edge_window_pallas`).
 
     Args:
       x: [B, N, F]; k: neighbors; window: one-sided index radius W;
@@ -106,13 +107,17 @@ def knn_indices_window(x: jax.Array, k: int, window: int = 256,
     def one_block(b0):
         xq = jax.lax.dynamic_slice(x, (0, b0, 0), (B, block, F))
         keys = jax.lax.dynamic_slice(xp, (0, b0, 0), (B, Wtot, F))
+        # HIGHEST precision: distances feed an argsort — bf16 MXU rounding
+        # (the TPU default) flips near-tie neighbors vs the f32 kernels
         d = (jnp.sum(xq ** 2, -1)[..., None]
-             - 2.0 * jnp.einsum("bqf,bkf->bqk", xq, keys)
+             - 2.0 * jnp.einsum("bqf,bkf->bqk", xq, keys,
+                                precision=jax.lax.Precision.HIGHEST)
              + jnp.sum(keys ** 2, -1)[:, None, :])               # [B, Q, Wtot]
-        # self-exclusion: query i sits at local key position W + i_local
-        d = d + jnp.where(
-            jnp.arange(Wtot)[None, :] == (qpos + W)[:, None],
-            jnp.inf, 0.0)[None]
+        # exact band + self-exclusion: query i sits at local key position
+        # W + i; keep only 0 < |pos - (W + i)| <= W
+        off = jnp.arange(Wtot)[None, :] - (qpos + W)[:, None]
+        d = d + jnp.where((off == 0) | (jnp.abs(off) > W),
+                          jnp.inf, 0.0)[None]
         _, sel = jax.lax.top_k(-d, k)                            # [B, Q, k]
         return (b0 - W + sel) % N                                # global ids
 

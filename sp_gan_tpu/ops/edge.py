@@ -202,11 +202,38 @@ def _knn_edge_diff_bwd(k, out_dtype, res, g):
 _knn_edge_diff.defvjp(_knn_edge_diff_fwd, _knn_edge_diff_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _knn_edge_diff_window(x: jax.Array, k: int, window: int, out_dtype):
+    """Banded (`--knn_mode approx`) twin of `_knn_edge_diff`: selection
+    restricted to the circular index band |i - j| <= window
+    (ops/pallas/knn.py::knn_edge_window_pallas). Same backward — emitted
+    indices are global, so the scatter is unchanged."""
+    from sp_gan_tpu.ops.pallas.knn import knn_edge_window_pallas
+    dist_mode, select_mode = _knn_modes()
+    return knn_edge_window_pallas(x, k, window, out_dtype, tq=256,
+                                  diff_only=True, dist_mode=dist_mode,
+                                  select_mode=select_mode)
+
+
+def _knn_edge_diff_window_fwd(x, k, window, out_dtype):
+    diff, idx = _knn_edge_diff_window(x, k, window, out_dtype)
+    return (diff, idx), (idx, jnp.zeros((0,) + x.shape, x.dtype))
+
+
+def _knn_edge_diff_window_bwd(k, window, out_dtype, res, g):
+    return _knn_edge_diff_bwd(k, out_dtype, res, g)
+
+
+_knn_edge_diff_window.defvjp(_knn_edge_diff_window_fwd,
+                             _knn_edge_diff_window_bwd)
+
+
 def edge_diff_features(
     x: jax.Array,
     k: int,
     idx: Optional[jax.Array] = None,
     out_dtype=None,
+    window: Optional[int] = None,
 ):
     """[B, N, C] -> diff-only edge features `nbr - central` [B, N, k, C].
 
@@ -214,10 +241,34 @@ def edge_diff_features(
     footprint of the hot tensor for no information: central is x broadcast
     over k, and every consumer (EdgeBlock) either uses the diff half alone
     (conv_w) or can fold central into a per-point matmul (conv_x split).
-    Same kNN semantics (self-excluded, ascending, f32 selection)."""
+    Same kNN semantics (self-excluded, ascending, f32 selection).
+
+    `window` (with idx=None) restricts selection to the circular index
+    band |i - j| <= window — the `--knn_mode approx` contract (see
+    ops/approx_knn.py for when that is sound)."""
+    if window is not None:
+        # normalize once so the fused kernel and the XLA fallback see the
+        # SAME effective band (the kernel needs 2W + tq <= N for its
+        # wrap-padded key slices; W <= (N-1)//2 keeps circular bands
+        # duplicate-free)
+        N = x.shape[1]
+        tq = 256
+        while N % tq:
+            tq //= 2
+        window = min(int(window), (N - tq) // 2, (N - 1) // 2)
+        if window < k:
+            window = None          # band too small to be meaningful
     if idx is None and _use_fused_knn_edge(x):
+        if window is not None:
+            diff, _ = _knn_edge_diff_window(
+                x, k, int(window), jnp.dtype(out_dtype or x.dtype).name)
+            return diff
         diff, _ = _knn_edge_diff(x, k, jnp.dtype(out_dtype or x.dtype).name)
         return diff
+    if idx is None and window is not None:
+        from sp_gan_tpu.ops.approx_knn import knn_indices_window
+        idx = knn_indices_window(
+            jax.lax.stop_gradient(x).astype(jnp.float32), k, int(window))
     if idx is None:
         from sp_gan_tpu.ops.dispatch import knn as knn_dispatch
         idx = knn_dispatch(x, k)

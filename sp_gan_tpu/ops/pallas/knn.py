@@ -336,6 +336,156 @@ def knn_edge_pallas(x: jax.Array, k: int, out_dtype=None, tq: int = 256,
     return ee, idx
 
 
+def _knn_edge_window_kernel(xp_ref, ee_ref, idx_ref, *, k: int, tq: int,
+                            n: int, w: int, c: int, cd,
+                            diff_only: bool = False,
+                            dist_mode: str = "highest",
+                            select_mode: str = "packed"):
+    """Banded variant of `_knn_edge_kernel` (`--knn_mode approx`): each
+    query's candidate set is exactly the circular index band |i - j| <= W
+    (self excluded) instead of all N keys — O(N*W) pairs instead of O(N^2).
+    Sound when index order tracks spatial order (the fibonacci template's
+    spiral; 99%+ neighbor recall measured on TRAINED N=8192 features,
+    runs/probe_approx_knn.jsonl). Input is the wrap-padded xp
+    [B, N + 2W, C]; the key tile for query block q is the contiguous slice
+    xp[q*tq : q*tq + tq + 2W] — no gathers. Selection, distance precision
+    and the one-hot MXU gather all match the exact kernel; emitted indices
+    are global (mod N), so the backward scatter is unchanged."""
+    q = pl.program_id(1)
+    wtot = tq + 2 * w
+    queries_raw = xp_ref[0, pl.ds(q * tq + w, tq), :]       # [TQ, C]
+    keys_raw = xp_ref[0, pl.ds(q * tq, wtot), :]            # [Wtot, C]
+    queries = queries_raw.astype(jnp.float32)
+    keys = keys_raw.astype(jnp.float32)
+
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    kn = jnp.sum(keys * keys, axis=-1, keepdims=True)
+    cross = _dist_cross(queries, keys, dist_mode)
+    dist = qn - 2.0 * cross + kn.T                          # [TQ, Wtot]
+
+    # exact +-W band, self excluded: query (local row i) sits at key
+    # position W + i; band = |pos - (W + i)| <= W. Masking to the exact
+    # band makes the candidate set independent of tq (testable contract).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, wtot), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, wtot), 1)
+    off = col_ids - rows - w                                # in [-W, W]
+    dist = jnp.where((off == 0) | (jnp.abs(off) > w), jnp.inf, dist)
+
+    central = queries_raw.astype(cd)
+    bf16 = jnp.bfloat16
+    if cd == bf16:
+        key_parts = [keys_raw.astype(bf16)]
+    else:
+        hi = keys.astype(bf16)
+        r1 = keys - hi.astype(jnp.float32)
+        mid = r1.astype(bf16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(bf16)
+        key_parts = [hi, mid, lo]
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+    def to_global(a):
+        g = q * tq - w + a                                  # [TQ] int32
+        g = jnp.where(g < 0, g + n, g)
+        return jnp.where(g >= n, g - n, g)
+
+    def emit(j, a, oh):
+        ohb = oh.astype(bf16)
+        nbr = mm(ohb, key_parts[0])
+        for part in key_parts[1:]:
+            nbr += mm(ohb, part)
+        nbr = nbr.astype(cd)
+        idx_ref[0, :, j] = to_global(a)
+        if diff_only:
+            ee_ref[0, :, j * c:(j + 1) * c] = nbr - central
+        else:
+            ee_ref[0, :, j, :] = jnp.concatenate(
+                [central, nbr - central], axis=-1)
+
+    if select_mode == "packed":
+        bits = max((wtot - 1).bit_length(), 1)
+        low_mask = (1 << bits) - 1
+        d_pos = jnp.maximum(dist, 0.0)
+        # inf stays inf through the bitcast (its exponent bits dominate),
+        # so masked cols never win the int-min reduce
+        d_int = pltpu.bitcast(d_pos, jnp.int32)
+        packed = (d_int & ~low_mask) | col_ids
+        big = jnp.int32(2 ** 31 - 1)
+        for j in range(k):
+            pm = jnp.min(packed, axis=1)
+            a = pm & low_mask
+            oh = col_ids == a[:, None]
+            emit(j, a, oh)
+            packed = jnp.where(oh, big, packed)
+        return
+
+    for j in range(k):
+        a = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        oh = col_ids == a[:, None]
+        emit(j, a, oh)
+        dist = jnp.where(oh, jnp.inf, dist)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "window", "out_dtype", "tq",
+                                    "diff_only", "dist_mode", "select_mode"))
+def knn_edge_window_pallas(x: jax.Array, k: int, window: int, out_dtype=None,
+                           tq: int = 256, diff_only: bool = False,
+                           dist_mode: str = "highest",
+                           select_mode: str = "exact"):
+    """Banded fused kNN + edge features: like `knn_edge_pallas` but each
+    query selects among exactly the circular index band |i - j| <= window
+    (self excluded, ascending, f32 selection). O(N * window) pairs — the
+    large-N `--knn_mode approx` kernel. Returns (ee, idx) with GLOBAL idx.
+
+    Requires 2*window + tq <= N (no duplicate keys inside a band slice);
+    window is clamped to that bound."""
+    B, N, C = x.shape
+    cd = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
+    while N % tq:
+        tq //= 2
+    W = int(min(window, (N - tq) // 2))
+    assert W >= k, (W, k)
+    wtot = tq + 2 * W
+    xp = jnp.concatenate([x[:, -W:], x, x[:, :W]], axis=1)  # [B, N+2W, C]
+    ec = C if diff_only else 2 * C
+    ee_spec = (pl.BlockSpec((1, tq, k * C), lambda b, q: (b, q, 0),
+                            memory_space=pltpu.VMEM)
+               if diff_only else
+               pl.BlockSpec((1, tq, k, ec), lambda b, q: (b, q, 0, 0),
+                            memory_space=pltpu.VMEM))
+    ee_shape = (B, N, k * C) if diff_only else (B, N, k, ec)
+    kernel = functools.partial(_knn_edge_window_kernel, k=k, tq=tq, n=N,
+                               w=W, c=C, cd=cd, diff_only=diff_only,
+                               dist_mode=dist_mode, select_mode=select_mode)
+    ee, idx = pl.pallas_call(
+        kernel,
+        grid=(B, N // tq),
+        in_specs=[pl.BlockSpec((1, N + 2 * W, C), lambda b, q: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            ee_spec,
+            pl.BlockSpec((1, tq, k), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(ee_shape, cd),
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * wtot * C * (1 + k // 4), transcendentals=0,
+            bytes_accessed=B * (N + 2 * W) * C * 4 * (N // tq)
+            + B * N * k * (ec * cd.itemsize + 4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xp)
+    if diff_only:
+        ee = ee.reshape(B, N, k, C)
+    return ee, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tq"))
 def knn_pallas(x: jax.Array, k: int, tq: int = 256):
     """x: [B, N, C] -> (idx [B, N, k] int32, dist [B, N, k]).

@@ -20,13 +20,28 @@ from sp_gan_tpu.ops.approx_knn import (knn_indices_candidates,
 from sp_gan_tpu.ops.pairwise import knn_indices
 
 
+def banded_oracle(x, k, W):
+    """Brute-force exact-band kNN: squared-L2 among keys at circular index
+    distance in (0, W], ascending. The contract both the XLA window
+    selection and the fused banded kernel must match."""
+    x = np.asarray(x, np.float64)
+    B, N, _ = x.shape
+    d = ((x[:, :, None] - x[:, None]) ** 2).sum(-1)          # [B, N, N]
+    i = np.arange(N)
+    off = (i[None, :] - i[:, None]) % N
+    off = np.minimum(off, N - off)
+    d = np.where((off == 0) | (off > W), np.inf, d)
+    return np.argsort(d, axis=-1)[..., :k].astype(np.int32)
+
+
 class TestWindow:
-    def test_full_coverage_matches_exact(self, rng):
+    def test_matches_banded_oracle(self, rng):
         x = jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32))
-        exact = np.sort(np.asarray(knn_indices(x, 5)), axis=-1)
-        w = np.sort(np.asarray(knn_indices_window(x, 5, window=28, block=8)),
-                    axis=-1)
-        np.testing.assert_array_equal(exact, w)
+        for W in (5, 16, 28):
+            ref = np.sort(banded_oracle(x, 5, W), axis=-1)
+            w = np.sort(np.asarray(
+                knn_indices_window(x, 5, window=W, block=8)), axis=-1)
+            np.testing.assert_array_equal(ref, w)
 
     def test_restricted_window_stays_in_band(self, rng):
         N, W, Q = 64, 6, 8
@@ -34,8 +49,10 @@ class TestWindow:
         idx = np.asarray(knn_indices_window(x, 5, window=W, block=Q))
         off = (idx - np.arange(N)[None, :, None]) % N
         off = np.minimum(off, N - off)
-        # block formulation: at least +-W, at most W + block - 1 one-sided
-        assert off.max() <= W + Q - 1
+        # exact band: never outside +-W, independent of the block size
+        assert off.max() <= W
+        idx2 = np.asarray(knn_indices_window(x, 5, window=W, block=16))
+        np.testing.assert_array_equal(idx, idx2)
         # self never selected
         assert (idx != np.arange(N)[None, :, None]).all()
 
@@ -75,6 +92,93 @@ class TestCandidates:
                                                 block=32))
         for i in range(128):
             assert np.isin(idx[:, i], cand[i]).all()
+
+
+class TestWindowKernel:
+    """Fused banded kNN+gather kernel (ops/pallas/knn.py::
+    knn_edge_window_pallas) vs the XLA window selection and the oracle —
+    interpret mode on CPU; the same comparisons run compiled on the chip
+    via scripts/check_tpu_kernels.py."""
+
+    def _setup(self, rng, N=128, C=16):
+        return jnp.asarray(rng.standard_normal((2, N, C)).astype(np.float32))
+
+    def test_kernel_matches_oracle(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_window_pallas
+        x, k, W = self._setup(rng), 4, 16
+        ref = banded_oracle(x, k, W)
+        with pltpu.force_tpu_interpret_mode():
+            ee, idx = knn_edge_window_pallas(x, k, W, tq=32)
+        np.testing.assert_array_equal(np.asarray(idx), ref)
+        # gathered edge values: one-hot MXU gather is exact
+        nbrs = np.asarray(jax.vmap(lambda xx, ii: xx[ii])(x, idx))
+        central = np.asarray(x)[:, :, None, :]
+        np.testing.assert_allclose(np.asarray(ee[..., 16:]), nbrs - central,
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ee[..., :16]),
+            np.broadcast_to(central, nbrs.shape), atol=0)
+
+    def test_kernel_diff_only_and_packed(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_window_pallas
+        x, k, W = self._setup(rng), 4, 16
+        ref = banded_oracle(x, k, W)
+        with pltpu.force_tpu_interpret_mode():
+            diff, idx = knn_edge_window_pallas(x, k, W, tq=32,
+                                               diff_only=True)
+            _, idx_p = knn_edge_window_pallas(x, k, W, tq=32,
+                                              diff_only=True,
+                                              select_mode="packed")
+        np.testing.assert_array_equal(np.asarray(idx), ref)
+        # packed selection: same neighbor SETS up to near-tie quantization
+        # (random f32 data has no such ties)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx_p), -1),
+                                      np.sort(ref, -1))
+        assert diff.shape == (2, 128, k, 16)
+        nbrs = np.asarray(jax.vmap(lambda xx, ii: xx[ii])(x, idx))
+        np.testing.assert_allclose(np.asarray(diff),
+                                   nbrs - np.asarray(x)[:, :, None, :],
+                                   atol=1e-6)
+
+    def test_kernel_tq_independent(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.pallas.knn import knn_edge_window_pallas
+        x, k, W = self._setup(rng), 4, 12
+        with pltpu.force_tpu_interpret_mode():
+            _, i32 = knn_edge_window_pallas(x, k, W, tq=32)
+            _, i16 = knn_edge_window_pallas(x, k, W, tq=16)
+        np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
+
+    def test_edge_diff_features_window_grads(self, rng, monkeypatch):
+        """grad through the banded custom VJP (the training path of
+        --knn_mode approx on TPU) — finite, nonzero, and equal to autodiff
+        of the XLA gather construction at the same indices."""
+        import sp_gan_tpu.ops.dispatch as dispatch
+        monkeypatch.setattr(dispatch, "pallas_enabled", lambda: True)
+        from jax.experimental.pallas import tpu as pltpu
+        from sp_gan_tpu.ops.edge import edge_diff_features, gather_neighbors
+        # N >= 2W + 256: edge_diff_features only bands when the fused
+        # kernel's tq=256 key slices fit (smaller N falls back to exact)
+        x = self._setup(rng, N=512, C=8)
+        W = 10
+
+        def loss(v):
+            d = edge_diff_features(v, 4, window=W)
+            return jnp.sum(d ** 3)
+
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(loss)(x)
+        idx = jnp.asarray(banded_oracle(x, 4, W))
+
+        def loss_ref(v):
+            d = gather_neighbors(v, idx) - v[:, :, None, :]
+            return jnp.sum(d ** 3)
+
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
 
 
 class TestGeneratorIntegration:
