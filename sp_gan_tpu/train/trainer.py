@@ -37,11 +37,15 @@ from sp_gan_tpu.utils import AverageValueMeter, enable_compile_cache
 
 class Trainer:
     def __init__(self, cfg: Config, dataset=None):
-        enable_compile_cache()
         self.cfg = cfg
-        # hang watchdog (see utils/watchdog.py): covers __init__ too —
-        # restore/state-creation/first-compile also block on the device and
-        # can wedge; train() beats it after every dispatch
+        # hang watchdog (see utils/watchdog.py): covers ALL of __init__ —
+        # including enable_compile_cache(), whose jax.default_backend()
+        # call is the first backend init and can block forever inside the
+        # runtime's connect-retry loop when the device relay is down
+        # (observed: a restarted campaign hung there with no watchdog
+        # armed, wedging the supervisor). Install the watchdog before the
+        # first statement that can touch the device; train() beats it
+        # after every dispatch.
         self._dog = None
         if cfg.watchdog_secs > 0:
             from sp_gan_tpu.utils.watchdog import Watchdog
@@ -52,6 +56,7 @@ class Trainer:
                       "exiting 42 for supervised restart", flush=True)
                 os._exit(42)
             self._dog = Watchdog(cfg.watchdog_secs, _on_timeout).start()
+        enable_compile_cache()
         os.makedirs(cfg.log_dir, exist_ok=True)
         self._log_fout = open(
             os.path.join(cfg.log_dir, "log_train.txt"),
