@@ -262,3 +262,38 @@ class TestEpochMeters:
         assert len(lines) == 3
         losses = [l.split("d_loss:")[1] for l in lines]
         assert len(set(losses)) == 3, f"stale epoch summaries: {lines}"
+
+
+class TestWatchdogArming:
+    def test_watchdog_armed_before_backend_init(self, cfg, dataset,
+                                                monkeypatch):
+        """The hang watchdog must be armed before the first statement that
+        can touch the device backend. enable_compile_cache() calls
+        jax.default_backend() — backend init — which blocks forever inside
+        the runtime's connect-retry loop when the device relay is down; if
+        it runs first, a campaign restarted into a relay outage hangs with
+        no exit-42 escape and wedges its supervisor (observed 2026-08-20,
+        fixed by arming the watchdog first)."""
+        import sp_gan_tpu.train.trainer as trainer_mod
+        from sp_gan_tpu.utils.watchdog import Watchdog
+
+        order = []
+        real_cache = trainer_mod.enable_compile_cache
+        real_start = Watchdog.start
+
+        def spy_cache(*a, **kw):
+            order.append("backend_init")
+            return real_cache(*a, **kw)
+
+        def spy_start(self):
+            order.append("watchdog_armed")
+            return real_start(self)
+
+        monkeypatch.setattr(trainer_mod, "enable_compile_cache", spy_cache)
+        monkeypatch.setattr(Watchdog, "start", spy_start)
+        tr = Trainer(cfg.replace(watchdog_secs=3600), dataset=dataset)
+        try:
+            assert order.index("watchdog_armed") < order.index("backend_init")
+        finally:
+            if tr._dog is not None:
+                tr._dog.stop()
