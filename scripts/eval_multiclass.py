@@ -44,7 +44,7 @@ def main():
     from sp_gan_tpu.data import SyntheticMultiClassDataset
     from sp_gan_tpu.data.augment import normalize_point_cloud
     from sp_gan_tpu.eval.metrics import (
-        compute_all_metrics, coverage, mmd, pairwise_cd_matrix)
+        compute_all_metrics, pairwise_cd_matrix, per_class_metrics)
     from sp_gan_tpu.manipulate import from_checkpoint
     from sp_gan_tpu.train.checkpoint import latest_checkpoint
 
@@ -67,24 +67,7 @@ def main():
            "pooled": compute_all_metrics(gen, ref)}
 
     gt = np.asarray(pairwise_cd_matrix(jnp.asarray(gen), jnp.asarray(ref)))
-    # pooled assignment: which ref is each generated cloud's nearest
-    nearest_ref = gt.argmin(axis=1)
-    for c in range(n_cls):
-        cols = np.flatnonzero(labels == c)
-        # COV-CD: class-c refs matched under the POOLED assignment (the
-        # docstring contract — a gen cloud whose pooled nearest ref is in
-        # another class does not count toward class c). The within-class
-        # restricted argmin (each gen picks its nearest ref inside class c)
-        # inflates coverage and is kept under its own key for comparison
-        # with the r4 artifact, which used it as "COV-CD".
-        matched = np.unique(nearest_ref[np.isin(nearest_ref, cols)])
-        out[f"class{c}"] = {
-            "MMD-CD": mmd(gt[:, cols]),
-            "COV-CD": float(len(matched) / len(cols)),
-            "COV-CD-within": coverage(gt[:, cols]),
-            # share of generated clouds whose pooled nearest ref is class c
-            "gen_share": float(np.isin(nearest_ref, cols).mean()),
-        }
+    out.update(per_class_metrics(gt, labels, n_cls))
     print(json.dumps(out, indent=2, default=float))
 
 

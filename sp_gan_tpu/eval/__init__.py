@@ -12,11 +12,12 @@ from sp_gan_tpu.eval.metrics import (
     jsd,
     f_score,
     compute_all_metrics,
+    per_class_metrics,
 )
 from sp_gan_tpu.eval.fpd import frechet_distance, FPD
 
 __all__ = [
     "pairwise_cd_matrix", "pairwise_emd_matrix", "coverage", "mmd",
     "knn_two_sample", "jsd", "f_score", "compute_all_metrics",
-    "frechet_distance", "FPD",
+    "per_class_metrics", "frechet_distance", "FPD",
 ]

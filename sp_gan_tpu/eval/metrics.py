@@ -111,6 +111,43 @@ def mmd(dists: np.ndarray) -> float:
     return float(np.asarray(dists).min(axis=0).mean())
 
 
+def per_class_metrics(dists: np.ndarray, labels: np.ndarray,
+                      n_classes: int) -> dict:
+    """Slice a pooled gen-x-ref distance matrix by REFERENCE class.
+
+    For an UNconditionally trained multi-class generator (the reference's
+    --con concat training, H5DataLoader.py:47-60 — the reference never
+    evaluates per class), per-class scores come from the pooled matrix:
+
+      MMD-CD[c]       mean over class-c refs of their closest generated
+                      cloud — how well the model covers class c.
+      COV-CD[c]       fraction of class-c refs matched as some generated
+                      cloud's nearest ref under the POOLED assignment — a
+                      gen cloud whose pooled nearest ref lies in another
+                      class does not count toward class c.
+      COV-CD-within   the restricted-argmin variant (each gen picks its
+                      nearest ref INSIDE class c); inflates coverage, kept
+                      for comparison with the r4 campaign_mc artifact.
+      gen_share       share of generated clouds whose pooled nearest ref
+                      is class c (class-dropout detector: ~1/n_classes is
+                      healthy, ~0 is dropout).
+    """
+    dists = np.asarray(dists)
+    labels = np.asarray(labels)
+    nearest_ref = dists.argmin(axis=1)
+    out = {}
+    for c in range(n_classes):
+        cols = np.flatnonzero(labels == c)
+        matched = np.unique(nearest_ref[np.isin(nearest_ref, cols)])
+        out[f"class{c}"] = {
+            "MMD-CD": mmd(dists[:, cols]),
+            "COV-CD": float(len(matched) / len(cols)),
+            "COV-CD-within": coverage(dists[:, cols]),
+            "gen_share": float(np.isin(nearest_ref, cols).mean()),
+        }
+    return out
+
+
 def knn_two_sample(mxx: np.ndarray, mxy: np.ndarray, myy: np.ndarray,
                    k: int = 1) -> float:
     """1-NN two-sample accuracy (loss_utils.py:556-572). 0.5 is ideal."""

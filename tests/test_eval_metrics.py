@@ -192,3 +192,69 @@ class TestCdMatrixChunking:
         full = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=7))
         got = np.asarray(pairwise_cd_matrix(gen, ref, col_chunk=4))  # -> 1
         np.testing.assert_allclose(got, full, rtol=1e-6)
+
+
+class TestPerClassMetrics:
+    """Per-class slicing of the pooled gen-x-ref matrix
+    (sp_gan_tpu.eval.per_class_metrics, used by scripts/eval_multiclass.py).
+
+    Hand-built 3-gen x 4-ref matrix, refs in classes [0, 0, 1, 1]:
+
+        gen0: nearest ref is r0 (class 0)
+        gen1: nearest ref is r0 (class 0)   <- duplicates gen0's match
+        gen2: nearest ref is r2 (class 1)
+    """
+
+    DISTS = np.array([
+        # r0    r1    r2    r3
+        [0.10, 0.50, 0.90, 0.90],   # gen0 -> r0
+        [0.20, 0.60, 0.30, 0.80],   # gen1 -> r0 (within class1: r2)
+        [0.70, 0.80, 0.10, 0.40],   # gen2 -> r2
+    ])
+    LABELS = np.array([0, 0, 1, 1])
+
+    def test_pooled_cov_excludes_cross_class_matches(self):
+        from sp_gan_tpu.eval import per_class_metrics
+        out = per_class_metrics(self.DISTS, self.LABELS, 2)
+        # class 0: only r0 matched of {r0, r1}
+        assert out["class0"]["COV-CD"] == pytest.approx(0.5)
+        # class 1 pooled: only gen2 lands there -> r2 matched of {r2, r3}.
+        # The restricted argmin would ALSO credit gen1's within-class
+        # nearest (r2) — same set here, but pooled must not count gen1's
+        # row at all; verified by gen_share below.
+        assert out["class1"]["COV-CD"] == pytest.approx(0.5)
+
+    def test_within_class_cov_inflates(self):
+        from sp_gan_tpu.eval import per_class_metrics
+        out = per_class_metrics(self.DISTS, self.LABELS, 2)
+        # restricted argmin inside class 1: gen0->r2, gen1->r2, gen2->r2
+        # -> r2 matched -> 0.5 (ties pooled here); inside class 0:
+        # gen0->r0, gen1->r0, gen2->r0 -> 0.5 as well. Build a case where
+        # they differ: make r3 gen1's within-class-1 nearest.
+        d = self.DISTS.copy()
+        d[1, 2], d[1, 3] = 0.80, 0.30   # gen1 within class1 -> r3
+        d[1, 0] = 0.05                  # pooled nearest stays r0
+        out = per_class_metrics(d, self.LABELS, 2)
+        assert out["class1"]["COV-CD"] == pytest.approx(0.5)         # r2 only
+        assert out["class1"]["COV-CD-within"] == pytest.approx(1.0)  # r2 + r3
+
+    def test_gen_share_and_mmd(self):
+        from sp_gan_tpu.eval import per_class_metrics
+        out = per_class_metrics(self.DISTS, self.LABELS, 2)
+        # gen0, gen1 -> class 0; gen2 -> class 1
+        assert out["class0"]["gen_share"] == pytest.approx(2 / 3)
+        assert out["class1"]["gen_share"] == pytest.approx(1 / 3)
+        # MMD[c] = mean over class-c refs of their closest gen
+        assert out["class0"]["MMD-CD"] == pytest.approx((0.10 + 0.50) / 2)
+        assert out["class1"]["MMD-CD"] == pytest.approx((0.10 + 0.40) / 2)
+
+    def test_class_dropout_signature(self):
+        from sp_gan_tpu.eval import per_class_metrics
+        # every gen cloud sits on class 0: class 1 gets zero pooled share
+        d = np.array([[0.1, 0.2, 5.0, 5.0],
+                      [0.2, 0.1, 5.0, 5.0],
+                      [0.1, 0.3, 5.0, 5.0]])
+        out = per_class_metrics(d, self.LABELS, 2)
+        assert out["class1"]["gen_share"] == 0.0
+        assert out["class1"]["COV-CD"] == 0.0
+        assert out["class1"]["MMD-CD"] == pytest.approx(5.0)
