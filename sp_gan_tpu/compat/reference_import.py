@@ -57,6 +57,8 @@ def load_reference_modules(ref_root: str = REF_ROOT) -> Tuple[type, type]:
     from Generation.Generator import Generator  # noqa: PLC0415
     assert Generator.__module__ == "Generation.Generator", (
         "imported a shadowed Generator, not the upstream module")
+    assert Discriminator.__module__ == "Generation.Discriminator", (
+        "imported a shadowed Discriminator, not the upstream module")
     return Generator, Discriminator
 
 

@@ -24,8 +24,8 @@ neighbors.
 Both keep the exact contract's semantics otherwise: squared-L2 distances,
 self excluded, ascending, f32 selection. Exact selection remains the
 default parity contract (`Config.knn_mode = "exact"`); enable with
-`--knn_mode approx` or env `SPGAN_KNN=approx`. Measured recall/quality/
-throughput: `runs/probe_approx_knn.jsonl`, BASELINE.md r5.
+`--knn_mode approx`. Measured recall/quality/throughput:
+`runs/probe_approx_knn.jsonl`, BASELINE.md r5.
 """
 
 from __future__ import annotations
@@ -99,7 +99,13 @@ def knn_indices_window(x: jax.Array, k: int, window: int = 256,
     x = jax.lax.stop_gradient(x).astype(jnp.float32)
     B, N, F = x.shape
     W = int(window)
-    assert N % block == 0 and W + block <= N, (N, block, W)
+    block = int(block)
+    while N % block:                 # any N: shrink the query chunk, not
+        block //= 2                  # the contract (band is block-size
+    assert block >= 1, (N, block)    # independent)
+    # 2W >= N would wrap the circular band onto itself: the same global
+    # point appears at two unmasked key positions -> duplicate neighbors
+    assert 2 * W < N, (N, W)
     Wtot = block + 2 * W
     xp = jnp.concatenate([x[:, -W:], x, x[:, :W]], axis=1)  # [B, N+2W, F]
     qpos = jnp.arange(block)

@@ -20,7 +20,6 @@ from sp_gan_tpu.data import (
     SyntheticDataset,
     augment_batch,
     prefetch_to_device,
-    sphere_sqdist,
     sphere_template,
 )
 from sp_gan_tpu.data.noise import sample_z
@@ -98,7 +97,6 @@ class Trainer:
         # model.py:162-167, is 1 GB at N=16384)
         ball = sphere_template(cfg.np, cfg.template)
         self.sphere = jnp.asarray(ball)
-        self.ball_sqdist = None
 
         # mesh (data-parallel)
         n_mesh = int(np.prod(cfg.mesh_shape))
@@ -119,8 +117,7 @@ class Trainer:
                 cfg, g_tx, d_tx, self.sphere, self.mesh)
         else:
             self.train_step = make_train_step(cfg, self.G, self.D, g_tx, d_tx,
-                                              self.sphere, self.ball_sqdist,
-                                              mesh=self.mesh)
+                                              self.sphere, mesh=self.mesh)
         self.sample_fn = make_sample_fn(cfg, self.G, self.sphere,
                                         use_ema=cfg.ema)
         self.sample_raw = (make_sample_fn(cfg, self.G, self.sphere,

@@ -43,6 +43,19 @@ class TestWindow:
                 knn_indices_window(x, 5, window=W, block=8)), axis=-1)
             np.testing.assert_array_equal(ref, w)
 
+    def test_odd_n_adapts_block_and_guards_wrap(self, rng):
+        # N not divisible by the default block: the query chunk shrinks
+        # instead of asserting (edge_diff_features calls with block left
+        # at its default for any N); 2W >= N must raise — the circular
+        # band would self-overlap and return duplicate neighbors
+        N = 96  # default block 256 > N, 96 % 64 != 0 -> adapts to 32
+        x = jnp.asarray(rng.standard_normal((2, N, 8)).astype(np.float32))
+        idx = np.asarray(knn_indices_window(x, 5, window=30))
+        ref = np.sort(banded_oracle(x, 5, 30), axis=-1)
+        np.testing.assert_array_equal(ref, np.sort(idx, axis=-1))
+        with pytest.raises(AssertionError):
+            knn_indices_window(x, 5, window=N // 2)
+
     def test_restricted_window_stays_in_band(self, rng):
         N, W, Q = 64, 6, 8
         x = jnp.asarray(rng.standard_normal((2, N, 8)).astype(np.float32))
